@@ -1,0 +1,283 @@
+"""The application layer: one function per algorithm.
+
+Replaces the reference's per-app driver binaries (app/spmv.cpp, app/sssp.cpp,
+app/bfs.cpp, app/pr.cpp, app/scc.cpp, app/eigenvector.cpp). Each app is a
+(semiring, initializer, step, convergence) quadruple solved by the shared
+fixpoint driver; initializers mirror the reference's per-app vector
+generators (app/sssp.cpp:180-209 root-distances, app/bfs.cpp:177-207
+root-frontier, app/scc.cpp:179-195 vertex-id iota).
+
+Algorithms use the monotone closure form ``x ← x ⊕ (A ⊗ x)`` (an implicit
+⊗-identity self-loop), which the reference approximates through its β·y
+term; the closure form is the standard linear-algebraic formulation and
+matches the classical golds in gold/algorithms.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparseharness_tpu.formats.sparse import COO
+from sparseharness_tpu.formats.preprocess import pagerank_normalise, scc_normalise
+from sparseharness_tpu.semiring import (
+    Semiring, PLUS_TIMES, MIN_PLUS, OR_AND, MAX_RIGHT, get_semiring,
+)
+from sparseharness_tpu.ops import build_operand, spmv, Geometry
+from sparseharness_tpu.algorithms.fixpoint import (
+    FixpointResult, run_fixpoint, delta_converged, exact_converged,
+)
+
+FLT_MAX = float(np.finfo(np.float32).max)
+
+
+def _require_square(coo: COO) -> None:
+    # the reference's COMMON_MAIN_PREAMBLE rejects non-square matrices for
+    # every app (inc/common.h:49-56)
+    if coo.shape[0] != coo.shape[1]:
+        raise ValueError(f"matrix must be square, got {coo.shape}")
+
+
+@dataclasses.dataclass(frozen=True)
+class Problem:
+    """A prepared (operand, config) pair — the ArgContainer analogue
+    (inc/kernel_utils.h:18) with pytrees instead of byte marshalling."""
+
+    operand: Any
+    sr: Semiring
+    variant: str
+    n_rows: int
+    x0: jax.Array
+    y: Optional[jax.Array]
+    alpha: Any
+    beta: Any
+
+
+# ------------------------------------------------------------------- spmv
+
+
+def make_spmv_problem(
+    coo: COO,
+    sr: Semiring = PLUS_TIMES,
+    variant: str = "ell",
+    geometry: Geometry = Geometry(),
+    x: Optional[np.ndarray] = None,
+    y: Optional[np.ndarray] = None,
+    alpha=None,
+    beta=None,
+    seed: int = 0,
+) -> Problem:
+    operand = build_operand(coo, sr, variant, geometry)
+    if x is None:
+        # ConstXVectorGenerator analogue (inc/vector_generator.h:43) uses a
+        # constant; random is the better default for correctness checking
+        rng = np.random.default_rng(seed)
+        if np.dtype(sr.dtype) == np.bool_:
+            x = rng.random(coo.shape[1]) < 0.5
+        else:
+            x = rng.uniform(0.0, 1.0, coo.shape[1]).astype(np.dtype(sr.dtype))
+    if y is None:
+        y = np.full(coo.shape[0], sr.zero, dtype=np.dtype(sr.dtype))
+    return Problem(
+        operand=operand, sr=sr, variant=variant, n_rows=coo.shape[0],
+        x0=jnp.asarray(x, dtype=sr.dtype), y=jnp.asarray(y, dtype=sr.dtype),
+        alpha=sr.one if alpha is None else alpha,
+        beta=sr.zero if beta is None else beta,
+    )
+
+
+def spmv_once(problem: Problem) -> jax.Array:
+    """Single-shot y = (α ⊗ A⊗x) ⊕ (β ⊗ y) — app/spmv.cpp's benchmark op."""
+    return spmv(
+        problem.operand, problem.x0, problem.y,
+        sr=problem.sr, variant=problem.variant, n_rows=problem.n_rows,
+        alpha=problem.alpha, beta=problem.beta,
+    )
+
+
+# ------------------------------------------------------------------- sssp
+
+
+def sssp(
+    coo: COO,
+    root: int,
+    variant: str = "ell",
+    geometry: Geometry = Geometry(),
+    delta: float = 0.0,
+    max_iter: Optional[int] = None,
+) -> FixpointResult:
+    """Single-source shortest paths via min-plus fixpoint
+    (app/sssp.cpp: x0 = ∞ except root = 0, README.md:29-40).
+
+    delta=0.0 iterates to the exact Bellman-Ford fixpoint (|Δ| < δ never
+    fires spuriously since < is strict only for 0 when Δ==0 ⇒ uses ≤ via
+    'no element changed'); pass delta>0 for early approximate stopping."""
+    _require_square(coo)
+    sr = MIN_PLUS
+    operand = build_operand(coo, sr, variant, geometry)
+    n = coo.shape[0]
+    x0 = jnp.full((n,), FLT_MAX, jnp.float32).at[root].set(0.0)
+    conv = exact_converged if delta <= 0.0 else delta_converged(delta)
+    limit = max_iter if max_iter is not None else n + 1
+
+    def step(x):
+        dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+        return sr.add(x, dp)  # closure: keep own distance
+
+    return jax.jit(
+        lambda x0: run_fixpoint(step, x0, convergence=conv, max_iter=limit)
+    )(x0)
+
+
+# ------------------------------------------------------------------- bfs
+
+
+def bfs(
+    coo: COO,
+    root: int,
+    variant: str = "ell",
+    geometry: Geometry = Geometry(),
+    max_iter: Optional[int] = None,
+) -> FixpointResult:
+    """BFS via or/and fixpoint (app/bfs.cpp: x0 = false except root).
+
+    Returns reachability in .x and int32 levels in .aux (-1 unreachable,
+    0 root) — the levels the reference's int-typed 'bool' kernels imply."""
+    _require_square(coo)
+    sr = OR_AND
+    operand = build_operand(coo, sr, variant, geometry)
+    n = coo.shape[0]
+    x0 = jnp.zeros((n,), jnp.bool_).at[root].set(True)
+    levels0 = jnp.full((n,), -1, jnp.int32).at[root].set(0)
+    limit = max_iter if max_iter is not None else n + 1
+
+    def step(x):
+        dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+        return jnp.logical_or(x, dp)
+
+    def stamp(levels, x_old, x_new, it):
+        newly = jnp.logical_and(x_new, jnp.logical_not(x_old))
+        return jnp.where(newly, it + 1, levels)
+
+    return jax.jit(
+        lambda x0, l0: run_fixpoint(
+            step, x0, convergence=exact_converged, max_iter=limit,
+            aux0=l0, aux_update=stamp,
+        )
+    )(x0, levels0)
+
+
+# --------------------------------------------------------------- pagerank
+
+
+def pagerank(
+    coo: COO,
+    damping: float = 0.85,
+    variant: str = "ell",
+    geometry: Geometry = Geometry(),
+    delta: float = 1e-6,
+    max_iter: int = 1000,
+) -> FixpointResult:
+    """PageRank power iteration (app/pr.cpp: damping 0.85, x0 = 1/N,
+    teleport β = (1−d)/N; matrix column-normalized+damped in preprocessing
+    via pagerank_normalise, src/sparse_matrix.cpp:409)."""
+    _require_square(coo)
+    sr = PLUS_TIMES
+    damped = pagerank_normalise(coo, damping)
+    operand = build_operand(damped, sr, variant, geometry)
+    n = coo.shape[0]
+    x0 = jnp.full((n,), 1.0 / n, jnp.float32)
+    teleport = jnp.float32((1.0 - damping) / n)
+
+    def step(x):
+        dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+        return dp + teleport
+
+    return jax.jit(
+        lambda x0: run_fixpoint(
+            step, x0, convergence=delta_converged(delta), max_iter=max_iter
+        )
+    )(x0)
+
+
+# -------------------------------------------------------------------- scc
+
+
+def scc(
+    coo: COO,
+    variant: str = "ell",
+    geometry: Geometry = Geometry(),
+    max_iter: Optional[int] = None,
+) -> Tuple[np.ndarray, FixpointResult, FixpointResult]:
+    """Strongly connected components via forward ∧ backward max-label
+    propagation. The reference's app/scc.cpp does only the forward pass
+    (SURVEY quirk list); the intersection here completes the algorithm.
+
+    Returns (component_ids, forward_fixpoint, backward_fixpoint)."""
+    _require_square(coo)
+    fwd = _label_propagate(coo, variant, geometry, max_iter)
+    bwd = _label_propagate(coo.transpose(), variant, geometry, max_iter)
+    f = np.asarray(fwd.x, dtype=np.int64)
+    b = np.asarray(bwd.x, dtype=np.int64)
+    pair = f * coo.shape[0] + b
+    _, comp = np.unique(pair, return_inverse=True)
+    return comp.astype(np.int32), fwd, bwd
+
+
+def _label_propagate(coo, variant, geometry, max_iter) -> FixpointResult:
+    sr = MAX_RIGHT
+    labelled = scc_normalise(coo)
+    operand = build_operand(labelled, sr, variant, geometry)
+    n = coo.shape[0]
+    x0 = jnp.arange(n, dtype=jnp.int32)  # vertex-id iota (app/scc.cpp:179-195)
+    limit = max_iter if max_iter is not None else n + 1
+
+    def step(x):
+        dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+        return jnp.maximum(x, dp)  # keep own label
+
+    return jax.jit(
+        lambda x0: run_fixpoint(
+            step, x0, convergence=exact_converged, max_iter=limit
+        )
+    )(x0)
+
+
+# ------------------------------------------------------------ eigenvector
+
+
+def eigenvector(
+    coo: COO,
+    variant: str = "ell",
+    geometry: Geometry = Geometry(),
+    delta: float = 1e-6,
+    max_iter: int = 1000,
+) -> Tuple[FixpointResult, jax.Array]:
+    """Dominant eigenvector by power iteration with L2 normalization.
+
+    The reference's app/eigenvector.cpp is fully commented out and excluded
+    from the build (CMakeLists.txt:51); this is the working implementation
+    the north star asks for. Returns (fixpoint, rayleigh_eigenvalue)."""
+    _require_square(coo)
+    sr = PLUS_TIMES
+    operand = build_operand(coo, sr, variant, geometry)
+    n = coo.shape[0]
+    x0 = jnp.full((n,), 1.0 / np.sqrt(n), jnp.float32)
+
+    def step(x):
+        y = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+        norm = jnp.linalg.norm(y)
+        return jnp.where(norm > 0, y / norm, y)
+
+    res = jax.jit(
+        lambda x0: run_fixpoint(
+            step, x0, convergence=delta_converged(delta), max_iter=max_iter
+        )
+    )(x0)
+    ax = spmv(operand, res.x, None, sr=sr, variant=variant, n_rows=n)
+    eigval = jnp.vdot(res.x, ax)
+    return res, eigval

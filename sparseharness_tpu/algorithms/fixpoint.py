@@ -1,0 +1,118 @@
+"""Iterate-to-fixpoint driver.
+
+The reference's ``IterativeHarness`` (inc/harness.h:441) runs a host-side
+do/while around each kernel launch: read the whole output vector back to the
+host, compare against the input on the CPU, swap buffer pointers, re-launch
+(app/sssp.cpp:112-153 — two host↔device crossings *per iteration*).
+
+The TPU-native design keeps the entire fixpoint on device: a
+``lax.while_loop`` whose carry threads the ping-pong state functionally and
+whose convergence predicate is an on-device all-reduce — zero host round
+trips, one compiled program for the whole solve. Under ``shard_map`` the same
+predicate composes with a ``psum`` so multi-chip convergence needs no host
+either (see parallel/).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sparseharness_tpu.semiring import Semiring
+
+
+class FixpointResult(NamedTuple):
+    x: jax.Array           # the fixpoint vector
+    iterations: jax.Array  # int32 — SpMV launches performed
+    converged: jax.Array   # bool — False ⇒ stopped at max_iter
+    aux: Optional[jax.Array] = None  # algorithm extra (e.g. BFS levels)
+
+
+def delta_converged(delta: float):
+    """|x_new − x| < delta everywhere — app/sssp.cpp:157-176 semantics
+    (float semirings; FLT_MAX−FLT_MAX = 0 so 'both unreachable' converges)."""
+
+    def pred(x_old, x_new):
+        return jnp.all(jnp.abs(x_new - x_old) < delta)
+
+    return pred
+
+
+def exact_converged(x_old, x_new):
+    """Bitwise x_new == x_old — app/bfs.cpp:154-174 / scc semantics."""
+    return jnp.all(x_old == x_new)
+
+
+def run_fixpoint(
+    step_fn: Callable,
+    x0: jax.Array,
+    *,
+    convergence: Callable,
+    max_iter: int = 10_000,
+    aux0: Optional[jax.Array] = None,
+    aux_update: Optional[Callable] = None,
+) -> FixpointResult:
+    """Iterate ``x ← step_fn(x)`` until ``convergence(x, x_new)`` or max_iter.
+
+    ``aux_update(aux, x_old, x_new, it)`` optionally threads a side array
+    through the loop (e.g. BFS level stamping). Jit-safe: call under jax.jit.
+    """
+    use_aux = aux0 is not None
+    if not use_aux:
+        aux0 = jnp.zeros((1,), jnp.int32)  # placeholder leaf
+
+    def cond(carry):
+        _, _, it, done = carry[0], carry[1], carry[2], carry[3]
+        return jnp.logical_and(~done, it < max_iter)
+
+    def body(carry):
+        x, aux, it, _ = carry
+        x_new = step_fn(x)
+        done = convergence(x, x_new)
+        if use_aux and aux_update is not None:
+            aux = aux_update(aux, x, x_new, it)
+        return (x_new, aux, it + 1, done)
+
+    x_fin, aux_fin, iters, done = jax.lax.while_loop(
+        cond, body, (x0, aux0, jnp.int32(0), jnp.bool_(False))
+    )
+    return FixpointResult(
+        x=x_fin,
+        iterations=iters,
+        converged=done,
+        aux=aux_fin if use_aux else None,
+    )
+
+
+def run_fixpoint_stepped(
+    step_fn: Callable,
+    x0: jax.Array,
+    *,
+    convergence: Callable,
+    max_iter: int,
+):
+    """Host-stepped variant mirroring the reference's per-iteration loop
+    (one device launch + one convergence scalar readback per iteration).
+
+    Used by the harness when per-iteration timing records are requested —
+    the analogue of the reference's RAW_RESULT-per-iteration rows
+    (app/sssp.cpp:122-126). Returns (x, per_iteration_list, converged).
+    """
+    one_step = jax.jit(lambda x: _step_with_flag(step_fn, convergence, x))
+    x = x0
+    iters = 0
+    converged = False
+    while iters < max_iter and not converged:
+        x_new, flag = one_step(x)
+        x_new.block_until_ready()
+        converged = bool(flag)
+        x = x_new
+        iters += 1
+        yield x, iters, converged
+
+
+def _step_with_flag(step_fn, convergence, x):
+    x_new = step_fn(x)
+    return x_new, convergence(x, x_new)

@@ -1,0 +1,96 @@
+"""Synthetic matrix/graph generators for tests and benchmarks.
+
+The reference ships five SuiteSparse matrices as fixed workloads
+(example/matrix*.mtx); for TPU-scale benchmarking we additionally need
+generators that reach SuiteSparse-scale sizes (BASELINE.json: "SuiteSparse-
+scale matrices") without shipping data files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sparseharness_tpu.formats.sparse import COO, coo_from_arrays
+
+
+def _dedup(rows, cols, vals, shape) -> COO:
+    key = rows.astype(np.int64) * shape[1] + cols
+    _, idx = np.unique(key, return_index=True)
+    return coo_from_arrays(rows[idx], cols[idx], vals[idx], shape)
+
+
+def random_coo(
+    n_rows: int,
+    n_cols: int,
+    nnz: int,
+    dtype=np.float32,
+    seed: int = 0,
+    value_range=(0.1, 1.0),
+) -> COO:
+    """Uniform-random sparsity pattern; duplicates removed (nnz may shrink)."""
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, n_rows, size=nnz, dtype=np.int64)
+    cols = rng.integers(0, n_cols, size=nnz, dtype=np.int64)
+    vals = rng.uniform(*value_range, size=nnz).astype(dtype)
+    return _dedup(rows, cols, vals, (n_rows, n_cols))
+
+
+def random_graph_coo(
+    n: int,
+    avg_degree: float,
+    dtype=np.float32,
+    seed: int = 0,
+    weight_range=(0.1, 1.0),
+    connected: bool = True,
+) -> COO:
+    """Random directed graph adjacency; optionally chained for connectivity."""
+    rng = np.random.default_rng(seed)
+    m = int(n * avg_degree)
+    rows = rng.integers(0, n, size=m, dtype=np.int64)
+    cols = rng.integers(0, n, size=m, dtype=np.int64)
+    if connected and n > 1:
+        # add a hamiltonian-ish chain so every vertex is reachable from 0
+        chain_src = np.arange(n - 1, dtype=np.int64)
+        chain_dst = chain_src + 1
+        rows = np.concatenate([rows, chain_dst])  # edge dst→... A[i,j]: j→i
+        cols = np.concatenate([cols, chain_src])
+    vals = rng.uniform(*weight_range, size=len(rows)).astype(dtype)
+    return _dedup(rows, cols, vals, (n, n))
+
+
+def banded_coo(n: int, bandwidth: int, dtype=np.float32, seed: int = 0) -> COO:
+    """Banded matrix — the regular-structure end of the sweep spectrum."""
+    rng = np.random.default_rng(seed)
+    offs = np.arange(-bandwidth, bandwidth + 1)
+    rows_list, cols_list = [], []
+    for o in offs:
+        r = np.arange(max(0, -o), min(n, n - o), dtype=np.int64)
+        rows_list.append(r)
+        cols_list.append(r + o)
+    rows = np.concatenate(rows_list)
+    cols = np.concatenate(cols_list)
+    vals = rng.uniform(0.1, 1.0, size=len(rows)).astype(dtype)
+    return _dedup(rows, cols, vals, (n, n))
+
+
+def power_law_coo(
+    n: int,
+    nnz: int,
+    alpha: float = 1.5,
+    dtype=np.float32,
+    seed: int = 0,
+) -> COO:
+    """Power-law (scale-free-ish) pattern — the ragged-row stress case that
+    motivates the reference's split/chunk kernel schedules
+    (example/kernel3.json splitSize, kernel6.json chunkSize)."""
+    rng = np.random.default_rng(seed)
+    # zipf-distributed column popularity, uniform rows
+    ranks = rng.zipf(alpha, size=nnz).astype(np.int64)
+    cols = np.minimum(ranks - 1, n - 1)
+    rows = rng.integers(0, n, size=nnz, dtype=np.int64)
+    # also make some rows heavy by swapping with probability .5
+    swap = rng.random(nnz) < 0.5
+    rows2 = np.where(swap, cols, rows)
+    cols2 = np.where(swap, rows, cols)
+    vals = rng.uniform(0.1, 1.0, size=nnz).astype(dtype)
+    return _dedup(rows2, cols2, vals, (n, n))

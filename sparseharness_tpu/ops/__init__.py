@@ -1,0 +1,14 @@
+from sparseharness_tpu.ops.registry import (  # noqa: F401
+    KernelVariant,
+    Geometry,
+    VARIANTS,
+    get_variant,
+    build_operand,
+    spmv,
+)
+from sparseharness_tpu.ops.jnp_ops import (  # noqa: F401
+    EllOperand,
+    CooOperand,
+    DenseOperand,
+)
+from sparseharness_tpu.ops.pallas_bsr import BsrOperand, build_bsr, dp_bsr  # noqa: F401

@@ -1,0 +1,185 @@
+"""Kernel-variant registry and the public spmv entry point.
+
+The reference selects a kernel by loading a JSON descriptor whose
+``properties`` name a schedule (outerMap/innerMap/splitSize/chunkSize —
+src/kernel_config.cpp:20-38) and whose ``source`` is compiled at runtime
+(inc/harness.h:63-73). Here a *variant* is a named (builder, apply) pair and
+a :class:`Geometry` carries the tile/block shape knobs — the analogue of the
+reference's runfile NDRange sweep axis (inc/run.h:9, example/runfile2.csv).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sparseharness_tpu.formats.sparse import COO
+from sparseharness_tpu.semiring import Semiring
+from sparseharness_tpu.ops import jnp_ops
+from sparseharness_tpu.ops import pallas_bsr
+
+
+@dataclasses.dataclass(frozen=True)
+class Geometry:
+    """Block-shape sweep point (the runfile Run analogue, inc/run.h:9).
+
+    block_m/block_n: tile shape for blocked variants (BSR) and the
+    row/width padding multiples for ELL. Hashable+static so it can key
+    jit caches.
+    """
+
+    block_m: int = 8
+    block_n: int = 128
+
+    def __str__(self) -> str:
+        return f"{self.block_m}x{self.block_n}"
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelVariant:
+    name: str
+    build: Callable[[COO, Semiring, Geometry], Any]
+    dp: Callable[..., jax.Array]  # (operand, x, sr, *, n_rows) → ⊕-reduced row dps
+    description: str = ""
+    supports: Optional[Callable[[Semiring], bool]] = None
+
+    def supports_semiring(self, sr: Semiring) -> bool:
+        return self.supports is None or self.supports(sr)
+
+
+VARIANTS: Dict[str, KernelVariant] = {}
+
+
+def register_variant(v: KernelVariant) -> KernelVariant:
+    VARIANTS[v.name] = v
+    return v
+
+
+def get_variant(name: str) -> KernelVariant:
+    try:
+        return VARIANTS[name]
+    except KeyError:
+        raise KeyError(f"unknown kernel variant {name!r}; known: {sorted(VARIANTS)}") from None
+
+
+# ------------------------------------------------------------------ public
+
+
+def build_operand(coo: COO, sr: Semiring, variant: str = "ell",
+                  geometry: Geometry = Geometry()):
+    return get_variant(variant).build(coo, sr, geometry)
+
+
+def spmv(
+    operand,
+    x: jax.Array,
+    y: Optional[jax.Array] = None,
+    *,
+    sr: Semiring,
+    variant: str = "ell",
+    n_rows: int,
+    alpha=None,
+    beta=None,
+) -> jax.Array:
+    """y_out[:n_rows] = (α ⊗ (⊕_j A[i,j] ⊗ x[j])) ⊕ (β ⊗ y[i]).
+
+    Jit-friendly: wrap in jax.jit with static `sr`, `variant`, `n_rows`
+    (they are closed-over/hashable); `operand`, `x`, `y` are pytrees of
+    arrays.
+    """
+    dp = get_variant(variant).dp(operand, x, sr, n_rows=n_rows)[:n_rows]
+    if y is not None:
+        y = y[:n_rows]
+    return jnp_ops.fold_dp(dp, y, sr, alpha, beta)
+
+
+def jit_spmv(sr: Semiring, variant: str, n_rows: int, alpha=None, beta=None,
+             donate_y: bool = False):
+    """Returns a jitted fn(operand, x, y) specialized to the static config."""
+
+    def f(operand, x, y):
+        return spmv(
+            operand, x, y, sr=sr, variant=variant, n_rows=n_rows,
+            alpha=alpha, beta=beta,
+        )
+
+    donate = (2,) if donate_y else ()
+    return jax.jit(f, donate_argnums=donate)
+
+
+# ------------------------------------------------------------- adapters
+
+
+def _dp_ell(op, x, sr, *, n_rows):
+    return jnp_ops.dp_ell(op, x, sr)
+
+
+def _dp_coo(op, x, sr, *, n_rows):
+    return jnp_ops.dp_coo_seg(op, x, sr, num_rows=n_rows)
+
+
+def _dp_dense(op, x, sr, *, n_rows):
+    return jnp_ops.dp_dense(op, x, sr)
+
+
+def _dp_bsr(op, x, sr, *, n_rows):
+    return pallas_bsr.dp_bsr(op, x, sr, n_rows=n_rows)
+
+
+register_variant(
+    KernelVariant(
+        name="ell",
+        build=lambda coo, sr, g: jnp_ops.build_ell(
+            coo, sr, width_multiple=g.block_n, row_multiple=g.block_m
+        ),
+        dp=_dp_ell,
+        description=(
+            "Padded-ELL gather + lane reduce (VPU); maps the reference's "
+            "dense-schedule kernel family swrg-slcl-* (example/kernel.json)"
+        ),
+    )
+)
+
+register_variant(
+    KernelVariant(
+        name="coo_seg",
+        build=lambda coo, sr, g: jnp_ops.build_coo_seg(coo, sr),
+        dp=_dp_coo,
+        description=(
+            "Row-sorted segmented ⊕ over COO; maps the ragged 'rsa' family "
+            "glb-sdp-rsa (example/kernel5.json) — no padding blow-up on "
+            "power-law rows"
+        ),
+    )
+)
+
+register_variant(
+    KernelVariant(
+        name="dense",
+        build=lambda coo, sr, g: jnp_ops.build_dense(
+            coo, sr, row_multiple=g.block_m, col_multiple=g.block_n
+        ),
+        dp=_dp_dense,
+        description="Densified operand (MXU for plus_times); roofline foil",
+    )
+)
+
+register_variant(
+    KernelVariant(
+        name="bsr_pallas",
+        build=lambda coo, sr, g: pallas_bsr.build_bsr(
+            coo, sr, bm=g.block_m, bn=g.block_n
+        ),
+        dp=_dp_bsr,
+        description=(
+            "Pallas block-sparse-row kernel: scalar-prefetched tile-column "
+            "ids steer x-block selection, dense (bm,bn) tiles ride "
+            "VPU/MXU; maps the blocked/chunked family "
+            "(example/kernel6.json chunkSize)"
+        ),
+    )
+)

@@ -1,0 +1,141 @@
+"""formats/: MatrixMarket I/O and sparse container conversions."""
+
+import numpy as np
+import pytest
+
+from sparseharness_tpu.formats import (
+    read_mtx, write_mtx, random_coo, power_law_coo, banded_coo,
+    pagerank_normalise, scc_normalise,
+)
+from sparseharness_tpu.formats.mtx import read_mtx_header, MtxFormatError
+from sparseharness_tpu.formats.sparse import round_up, COO
+from tests.conftest import reference_matrix_path
+
+
+def test_read_reference_matrix_header():
+    p = reference_matrix_path("matrix.mtx")
+    if p is None:
+        pytest.skip("reference examples not mounted")
+    h = read_mtx_header(p)
+    assert (h.rows, h.cols, h.nnz) == (1138, 1138, 2596)
+    assert h.field == "real" and h.symmetry == "symmetric"
+
+
+def test_symmetric_expansion(matrix_mtx):
+    # HB/1138_bus: 2596 stored entries, diagonal fully stored →
+    # expanded nnz = 2*2596 - 1138
+    if matrix_mtx.nnz == 2596:
+        pytest.skip("synthetic stand-in")
+    n_diag = int(np.sum(matrix_mtx.rows == matrix_mtx.cols))
+    assert matrix_mtx.nnz == 2 * 2596 - n_diag
+    # expanded matrix must be symmetric
+    d = matrix_mtx.to_dense()
+    np.testing.assert_allclose(d, d.T)
+
+
+@pytest.mark.parametrize(
+    "name,shape",
+    [
+        ("matrix2.mtx", (18772, 18772)),  # pattern symmetric
+        ("matrix3.mtx", (20, 20)),        # integer symmetric
+        ("matrix4.mtx", (111, 111)),      # pattern general
+        ("matrix5.mtx", (130, 130)),      # real general
+    ],
+)
+def test_read_all_reference_matrices(name, shape):
+    p = reference_matrix_path(name)
+    if p is None:
+        pytest.skip("reference examples not mounted")
+    coo = read_mtx(p)
+    assert coo.shape == shape
+    assert coo.nnz > 0
+    if "pattern" in open(p).readline():
+        assert np.all(coo.vals == 1.0)
+
+
+def test_mtx_roundtrip(tmp_path):
+    coo = random_coo(37, 53, 200, seed=3)
+    path = str(tmp_path / "rt.mtx")
+    write_mtx(path, coo)
+    back = read_mtx(path)
+    assert back.shape == coo.shape
+    np.testing.assert_allclose(
+        back.sorted_by_row().vals, coo.sorted_by_row().vals, rtol=1e-6
+    )
+
+
+def test_bad_banner(tmp_path):
+    p = tmp_path / "bad.mtx"
+    p.write_text("%%MatrixMarket matrix array real general\n2 2\n1\n2\n3\n4\n")
+    with pytest.raises(MtxFormatError):
+        read_mtx(str(p))
+
+
+def test_csr_ell_consistency(matrix_mtx):
+    csr = matrix_mtx.to_csr()
+    assert csr.nnz == matrix_mtx.nnz
+    np.testing.assert_array_equal(
+        csr.row_lengths(), matrix_mtx.row_lengths()
+    )
+    ell = csr.to_ell()
+    assert ell.nnz == csr.nnz
+    assert ell.padded_shape[0] % 8 == 0
+    assert ell.padded_shape[1] % 128 == 0
+    # every real entry is present at the right coordinate
+    d1 = matrix_mtx.to_dense()
+    d2 = np.zeros_like(d1)
+    r, c = np.nonzero(ell.mask)
+    d2[r[r < d1.shape[0]], ell.cols[ell.mask]] = ell.vals[ell.mask]
+    np.testing.assert_allclose(d1, d2)
+
+
+def test_bsr_tiles_cover_all_nnz():
+    coo = random_coo(100, 90, 400, seed=5)
+    bsr = coo.to_bsr(bm=8, bn=128)
+    dense = np.zeros(bsr.padded_shape, dtype=np.float32)
+    for t in range(bsr.ntiles):
+        r0 = bsr.tile_rows[t] * bsr.bm
+        c0 = bsr.tile_cols[t] * bsr.bn
+        dense[r0:r0 + bsr.bm, c0:c0 + bsr.bn] = bsr.tiles[t]
+    np.testing.assert_allclose(
+        dense[: coo.shape[0], : coo.shape[1]], coo.to_dense()
+    )
+
+
+def test_empty_rows_and_round_up():
+    assert round_up(0, 8) == 0 and round_up(1, 8) == 8 and round_up(8, 8) == 8
+    coo = COO(
+        rows=np.array([5], np.int32), cols=np.array([3], np.int32),
+        vals=np.array([2.0], np.float32), shape=(10, 10),
+    )
+    ell = coo.to_ell()
+    assert ell.nnz == 1
+    csr = coo.to_csr()
+    assert list(csr.row_lengths()) == [0, 0, 0, 0, 0, 1, 0, 0, 0, 0]
+
+
+def test_pagerank_normalise_columns_sum_to_damping():
+    coo = random_coo(50, 50, 300, seed=2)
+    out = pagerank_normalise(coo, 0.85)
+    colsum = np.zeros(50)
+    np.add.at(colsum, out.cols, out.vals)
+    nonzero_cols = np.unique(coo.cols)
+    np.testing.assert_allclose(colsum[nonzero_cols], 0.85, rtol=1e-5)
+
+
+def test_scc_normalise_values_and_diagonal():
+    coo = COO(
+        rows=np.array([0, 1, 1], np.int32),
+        cols=np.array([1, 1, 0], np.int32),
+        vals=np.array([5.0, 7.0, 9.0], np.float32),
+        shape=(2, 2),
+    )
+    out = scc_normalise(coo)
+    int_min = np.iinfo(np.int32).min
+    assert out.vals.tolist() == [1, int_min, 0]
+
+
+def test_power_law_has_ragged_rows():
+    coo = power_law_coo(512, 4000, seed=0)
+    lengths = coo.row_lengths()
+    assert lengths.max() > 4 * max(lengths.mean(), 1)

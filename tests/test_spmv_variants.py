@@ -1,0 +1,152 @@
+"""ops/: every kernel variant × semiring × matrix vs the NumPy gold.
+
+The analogue of the reference's all-kernel sweep test
+(scripts/experiments/all_kernel_test.sh: every kernel JSON × oclgrind,
+tallying failures) — here it is an actual unit-test matrix.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparseharness_tpu.formats import random_coo, power_law_coo, banded_coo
+from sparseharness_tpu.gold import spmv_gold, check_result, Correctness
+from sparseharness_tpu.ops import build_operand, spmv, Geometry, VARIANTS
+from sparseharness_tpu.semiring import REGISTRY, get_semiring
+
+ALL_VARIANTS = sorted(VARIANTS)
+ALL_SEMIRINGS = sorted(REGISTRY)
+
+
+def _xy(sr, coo, seed=0):
+    rng = np.random.default_rng(seed)
+    dt = np.dtype(sr.dtype)
+    if dt == np.bool_:
+        x = rng.random(coo.shape[1]) < 0.3
+        y = rng.random(coo.shape[0]) < 0.3
+    elif np.issubdtype(dt, np.integer):
+        x = rng.integers(0, 50, coo.shape[1]).astype(dt)
+        y = rng.integers(0, 50, coo.shape[0]).astype(dt)
+    else:
+        x = rng.uniform(0.1, 1.0, coo.shape[1]).astype(dt)
+        y = rng.uniform(0.1, 1.0, coo.shape[0]).astype(dt)
+    return x, y
+
+
+def _matrix_for(sr, seed=0):
+    coo = random_coo(173, 211, 900, seed=seed)
+    if np.dtype(sr.dtype) == np.bool_:
+        return coo.with_values((coo.vals != 0).astype(np.bool_))
+    if np.issubdtype(np.dtype(sr.dtype), np.integer):
+        return coo.with_values((coo.vals * 50).astype(np.int32))
+    return coo
+
+
+def _supported(variant, sr):
+    if variant == "coo_seg" and sr.name not in (
+        "plus_times", "min_plus", "or_and", "max_min", "max_times", "max_right"
+    ):
+        return False
+    return True
+
+
+@pytest.mark.parametrize("variant", ALL_VARIANTS)
+@pytest.mark.parametrize("srname", ALL_SEMIRINGS)
+def test_variant_matches_gold(variant, srname):
+    sr = get_semiring(srname)
+    if not _supported(variant, sr):
+        pytest.skip(f"{variant} does not support {srname}")
+    coo = _matrix_for(sr)
+    x, y = _xy(sr, coo)
+    gold = spmv_gold(coo, x, y, sr)
+    op = build_operand(coo, sr, variant)
+    out = np.asarray(
+        spmv(op, jnp.asarray(x), jnp.asarray(y), sr=sr, variant=variant,
+             n_rows=coo.shape[0])
+    )
+    assert check_result(out, gold, delta=1e-4) in (
+        Correctness.CORRECT,
+    ), f"max|Δ|={_maxdiff(out, gold)}"
+
+
+@pytest.mark.parametrize("variant", ALL_VARIANTS)
+def test_alpha_beta_fold(variant):
+    sr = get_semiring("plus_times")
+    coo = _matrix_for(sr, seed=3)
+    x, y = _xy(sr, coo, seed=3)
+    gold = spmv_gold(coo, x, y, sr, alpha=2.0, beta=3.0)
+    op = build_operand(coo, sr, variant)
+    out = np.asarray(
+        spmv(op, jnp.asarray(x), jnp.asarray(y), sr=sr, variant=variant,
+             n_rows=coo.shape[0], alpha=2.0, beta=3.0)
+    )
+    assert check_result(out, gold, delta=1e-4) is Correctness.CORRECT
+
+
+@pytest.mark.parametrize("variant", ["ell", "coo_seg", "bsr_pallas"])
+def test_power_law_matrix(variant):
+    sr = get_semiring("plus_times")
+    coo = power_law_coo(300, 3000, seed=1)
+    x, y = _xy(sr, coo, seed=1)
+    gold = spmv_gold(coo, x, y, sr)
+    op = build_operand(coo, sr, variant)
+    out = np.asarray(
+        spmv(op, jnp.asarray(x), jnp.asarray(y), sr=sr, variant=variant,
+             n_rows=coo.shape[0])
+    )
+    assert check_result(out, gold, delta=1e-3) is Correctness.CORRECT
+
+
+@pytest.mark.parametrize("variant", ["ell", "bsr_pallas"])
+@pytest.mark.parametrize("geometry", [Geometry(8, 128), Geometry(16, 256)])
+def test_geometry_sweep(variant, geometry):
+    """The runfile-sweep analogue: results must be identical across launch
+    geometries (the reference records correctness per Run — inc/run.h:9)."""
+    sr = get_semiring("plus_times")
+    coo = banded_coo(200, 3, seed=2)
+    x, y = _xy(sr, coo, seed=2)
+    gold = spmv_gold(coo, x, y, sr)
+    op = build_operand(coo, sr, variant, geometry)
+    out = np.asarray(
+        spmv(op, jnp.asarray(x), jnp.asarray(y), sr=sr, variant=variant,
+             n_rows=coo.shape[0])
+    )
+    assert check_result(out, gold, delta=1e-4) is Correctness.CORRECT
+
+
+def test_empty_rows_produce_semiring_zero():
+    sr = get_semiring("min_plus")
+    coo = random_coo(64, 64, 40, seed=4)  # plenty of empty rows
+    x, _ = _xy(sr, coo, seed=4)
+    gold = spmv_gold(coo, x, np.full(64, sr.zero, np.float32), sr)
+    for variant in ("ell", "coo_seg", "bsr_pallas"):
+        op = build_operand(coo, sr, variant)
+        out = np.asarray(
+            spmv(op, jnp.asarray(x), None, sr=sr, variant=variant, n_rows=64)
+        )
+        empty = np.setdiff1d(np.arange(64), coo.rows)
+        assert np.all(out[empty] == np.float32(sr.zero)), variant
+        assert check_result(out, gold, delta=1e-4) is Correctness.CORRECT, variant
+
+
+def test_jit_stability_no_retrace():
+    sr = get_semiring("plus_times")
+    coo = _matrix_for(sr)
+    op = build_operand(coo, sr, "ell")
+    calls = {"n": 0}
+
+    @jax.jit
+    def f(op, x):
+        calls["n"] += 1
+        return spmv(op, x, None, sr=sr, variant="ell", n_rows=coo.shape[0])
+
+    x1 = jnp.asarray(np.random.default_rng(0).uniform(size=coo.shape[1]).astype(np.float32))
+    x2 = x1 + 1.0
+    f(op, x1)
+    f(op, x2)
+    assert calls["n"] == 1  # one trace, two executions
+
+
+def _maxdiff(a, b):
+    return np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)).max()
