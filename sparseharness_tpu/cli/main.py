@@ -1,0 +1,212 @@
+"""Per-algorithm command-line drivers.
+
+Replaces the reference's app binaries and their COMMON_MAIN_PREAMBLE flag
+surface (inc/common.h:5-56):
+
+  reference                  here
+  -p/--platform -d/--device  --mesh (device count; platform is jax-managed)
+  -m/--matrix                -m/--matrix
+  -f/--kernel (JSON file)    -k/--kernel (variant name from ops.VARIANTS)
+  -r/--runfile (CSV)         -r/--runfile (same CSV accepted) / --sweep
+  -n/--trials                -n/--trials
+  -t/--timeout               -t/--timeout (seconds)
+  -c/--delta                 -c/--delta
+  -e/--experiment_id         -e/--experiment-id
+
+Outputs: human summary on stdout, optional --jsonl / --sql result sinks
+(the reference prints SQL INSERT rows to stdout — inc/sql_stat.h:60).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _common_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("-m", "--matrix", required=True, help=".mtx file")
+    p.add_argument("-k", "--kernel", default="ell",
+                   help="kernel variant (ell|coo_seg|dense|bsr_pallas)")
+    p.add_argument("-r", "--runfile", default=None,
+                   help="runfile CSV (reference format) for a geometry sweep")
+    p.add_argument("--sweep", action="store_true",
+                   help="sweep the default variant×geometry grid")
+    p.add_argument("-n", "--trials", type=int, default=10)
+    p.add_argument("-t", "--timeout", type=float, default=10.0,
+                   help="per-trial timeout seconds (adaptive ratchet applies)")
+    p.add_argument("-c", "--delta", type=float, default=1e-4)
+    p.add_argument("-e", "--experiment-id", default="")
+    p.add_argument("--mesh", type=int, default=1,
+                   help="number of devices (row-sharded execution if >1)")
+    p.add_argument("--jsonl", default=None, help="write JSONL records here")
+    p.add_argument("--sql", default=None, help="write SQL INSERT rows here")
+    p.add_argument("--no-gold", action="store_true",
+                   help="skip the gold correctness check")
+    p.add_argument("--trace", action="store_true",
+                   help="emit PROFILING_DATUM scoped-timer lines")
+    return p
+
+
+def _setup(args):
+    import os
+
+    if args.trace:
+        os.environ["SPARSEHARNESS_TPU_TRACE"] = "1"
+    from sparseharness_tpu.formats import read_mtx
+
+    coo = read_mtx(args.matrix)
+    return coo
+
+
+def _emit(records, args) -> None:
+    from sparseharness_tpu.harness import write_records
+
+    jf = open(args.jsonl, "a") if args.jsonl else None
+    sf = open(args.sql, "a") if args.sql else None
+    try:
+        write_records(records, jsonl=jf, sql=sf)
+    finally:
+        for f in (jf, sf):
+            if f:
+                f.close()
+
+
+def spmv_main(argv: Optional[list] = None) -> int:
+    args = _common_parser("semiring SpMV benchmark (app/spmv.cpp)").parse_args(argv)
+    coo = _setup(args)
+    from sparseharness_tpu.algorithms import make_spmv_problem
+    from sparseharness_tpu.gold import spmv_gold
+    from sparseharness_tpu.harness import (
+        BenchmarkConfig, benchmark_spmv, default_sweep, load_runfile,
+        run_sweep, best_per_matrix,
+    )
+    from sparseharness_tpu.ops import Geometry
+    from sparseharness_tpu.semiring import PLUS_TIMES
+
+    config = BenchmarkConfig(
+        trials=args.trials, timeout_s=args.timeout, delta=args.delta,
+        experiment_id=args.experiment_id,
+    )
+    if args.sweep or args.runfile:
+        points = (
+            load_runfile(args.runfile, args.kernel) if args.runfile
+            else default_sweep()
+        )
+        results = run_sweep(
+            {args.matrix: coo}, points, config=config,
+            check_gold=not args.no_gold,
+        )
+        for mname, per_point in results.items():
+            for pname, res in per_point.items():
+                print(f"{mname} {pname}: {res.summary()}")
+                _emit(res.records, args)
+        for mname, bestp in best_per_matrix(results).items():
+            print(f"BEST {mname}: {bestp}")
+        return 0
+
+    prob = make_spmv_problem(coo, sr=PLUS_TIMES, variant=args.kernel)
+    gold = None
+    if not args.no_gold:
+        gold = spmv_gold(coo, np.asarray(prob.x0), np.asarray(prob.y), PLUS_TIMES)
+    res = benchmark_spmv(
+        prob, gold=gold, config=config, matrix_name=args.matrix, nnz=coo.nnz
+    )
+    print(res.summary())
+    _emit(res.records, args)
+    return 0 if res.correctness.value in ("correct", "not_checked") else 1
+
+
+def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
+                   kernel_name="fixpoint"):
+    p = _common_parser(description)
+    if needs_root:
+        p.add_argument("--root", type=int, default=0)
+    p.add_argument("--max-iter", type=int, default=None)
+    args = p.parse_args(argv)
+    coo = _setup(args)
+    from sparseharness_tpu.harness import BenchmarkConfig, benchmark_fixpoint
+
+    config = BenchmarkConfig(
+        trials=args.trials, timeout_s=args.timeout, delta=args.delta,
+        experiment_id=args.experiment_id,
+    )
+    gold = None if args.no_gold else gold_fn(coo, args)
+    res = benchmark_fixpoint(
+        lambda: solve(coo, args),
+        gold=gold, config=config, matrix_name=args.matrix,
+        kernel_name=f"{kernel_name}:{args.kernel}", nnz=coo.nnz, exact=exact,
+    )
+    print(f"{res.summary()} | {res.iterations} iterations")
+    _emit(res.records, args)
+    return 0 if res.correctness.value in ("correct", "not_checked") else 1
+
+
+def sssp_main(argv: Optional[list] = None) -> int:
+    from sparseharness_tpu.algorithms import sssp
+    from sparseharness_tpu.gold import sssp_gold
+
+    return _fixpoint_main(
+        "SSSP min-plus fixpoint (app/sssp.cpp)",
+        lambda coo, a: sssp(coo, a.root, variant=a.kernel, max_iter=a.max_iter),
+        lambda coo, a: sssp_gold(coo, a.root),
+        needs_root=True, argv=argv, kernel_name="sssp",
+    )
+
+
+def bfs_main(argv: Optional[list] = None) -> int:
+    from sparseharness_tpu.algorithms import bfs
+    from sparseharness_tpu.gold import bfs_reach_gold
+
+    return _fixpoint_main(
+        "BFS or/and fixpoint (app/bfs.cpp)",
+        lambda coo, a: bfs(coo, a.root, variant=a.kernel, max_iter=a.max_iter),
+        lambda coo, a: bfs_reach_gold(coo, a.root),
+        needs_root=True, argv=argv, exact=True, kernel_name="bfs",
+    )
+
+
+def pr_main(argv: Optional[list] = None) -> int:
+    from sparseharness_tpu.algorithms import pagerank
+    from sparseharness_tpu.gold import pagerank_gold
+
+    return _fixpoint_main(
+        "PageRank power iteration (app/pr.cpp)",
+        lambda coo, a: pagerank(coo, variant=a.kernel,
+                                max_iter=a.max_iter or 1000),
+        lambda coo, a: pagerank_gold(coo),
+        needs_root=False, argv=argv, kernel_name="pagerank",
+    )
+
+
+def scc_main(argv: Optional[list] = None) -> int:
+    from sparseharness_tpu.algorithms.apps import scc as scc_fn, _label_propagate
+    from sparseharness_tpu.ops import Geometry
+    from sparseharness_tpu.gold.algorithms import scc_labels_gold
+
+    return _fixpoint_main(
+        "SCC max-label propagation (app/scc.cpp; fwd pass benchmarked)",
+        lambda coo, a: _label_propagate(coo, a.kernel, Geometry(), a.max_iter),
+        lambda coo, a: scc_labels_gold(coo),
+        needs_root=False, argv=argv, exact=True, kernel_name="scc",
+    )
+
+
+def eigenvector_main(argv: Optional[list] = None) -> int:
+    from sparseharness_tpu.algorithms import eigenvector
+
+    return _fixpoint_main(
+        "Dominant eigenvector power iteration (app/eigenvector.cpp, "
+        "implemented for real)",
+        lambda coo, a: eigenvector(coo, variant=a.kernel,
+                                   max_iter=a.max_iter or 1000)[0],
+        lambda coo, a: None,
+        needs_root=False, argv=argv, kernel_name="eigenvector",
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(spmv_main())

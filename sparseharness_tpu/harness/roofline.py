@@ -1,0 +1,56 @@
+"""Speed-of-light (HBM-bandwidth roofline) model per kernel variant.
+
+Semiring SpMV is bandwidth-bound on every TPU generation (a ⊗ and a ⊕ per
+nonzero against ≥8 bytes of operand traffic), so the meaningful roofline is
+bytes-moved / HBM bandwidth, and the headline metric is nnz/s as a fraction
+of that bound — BASELINE.md's "≥80 % of HBM-bandwidth-bound nnz/s per chip".
+Non-arithmetic semirings (min/max/or) never touch the MXU; FLOP/s is
+reported but nnz/s-vs-roofline is the honest number (SURVEY §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+# peak HBM bandwidth per chip, bytes/s (public spec sheets)
+_HBM_BW = {
+    "TPU v2": 700e9,
+    "TPU v3": 900e9,
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,   # v5e
+    "TPU v5e": 819e9,
+    "TPU v5": 819e9,
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,  # v6e / Trillium
+    "TPU v6e": 1640e9,
+    "cpu": 50e9,            # nominal host DRAM, for interpret-mode runs
+}
+
+
+def device_hbm_bandwidth(device: Optional[jax.Device] = None) -> float:
+    if device is None:
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "cpu")
+    for key, bw in _HBM_BW.items():
+        if kind.startswith(key):
+            return bw
+    return _HBM_BW["cpu"] if device.platform == "cpu" else 819e9
+
+
+def variant_bytes(variant: str, operand, x_bytes: int, out_bytes: int) -> int:
+    """Minimum HBM traffic for one SpMV with this operand: read every operand
+    array once, read x once, write the output once (x gathers assumed cached
+    in VMEM — true for the blocked kernels, optimistic for pure-XLA gather)."""
+    operand_bytes = sum(
+        int(np.prod(a.shape)) * a.dtype.itemsize
+        for a in jax.tree_util.tree_leaves(operand)
+    )
+    return operand_bytes + x_bytes + out_bytes
+
+
+def roofline_seconds(variant: str, operand, x_bytes: int, out_bytes: int,
+                     device: Optional[jax.Device] = None) -> float:
+    return variant_bytes(variant, operand, x_bytes, out_bytes) / device_hbm_bandwidth(device)

@@ -1,0 +1,214 @@
+"""The benchmark runner — trials, timing, timeout ratchet, correctness.
+
+Replaces Harness::benchmark (inc/harness.h:84) and its per-app subclasses:
+
+- warmup/compile excluded from timing (the reference's clBuildProgram JIT
+  happens in the ctor, inc/harness.h:68; here the first jitted call
+  compiles and is discarded);
+- per-trial wall time via ``block_until_ready`` (the OpenCL event-profiling
+  analogue, inc/harness.h:149-195);
+- per-trial timeout cap with the adaptive ``lowerTimeout`` ratchet: once a
+  trial completes in t, the cap becomes 2·t (inc/harness.h:87-98) so bad
+  sweep points fail fast;
+- per-trial correctness vs gold (inc/harness.h:113), recorded in the stats
+  row like the reference's Correctness enum (inc/sql_stat.h:7);
+- MEDIAN_RESULT summary row per configuration (app/spmv.cpp:90-95) and
+  MULTI_ITERATION_SUM rows for fixpoint apps (app/sssp.cpp:73-85).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparseharness_tpu.gold.check import Correctness, check_result
+from sparseharness_tpu.harness.stats import (
+    BenchRecord, Statistic, median_record,
+)
+from sparseharness_tpu.harness.roofline import (
+    device_hbm_bandwidth, variant_bytes,
+)
+from sparseharness_tpu.ops import spmv, Geometry
+from sparseharness_tpu.utils.timing import ScopedTimer, report_timing
+from sparseharness_tpu.utils.logging import get_logger
+
+log = get_logger("harness")
+
+
+@dataclasses.dataclass
+class BenchmarkConfig:
+    """The reference's CLI knobs (inc/common.h:5-56): -n trials, -t timeout,
+    -c delta, -e experiment id."""
+
+    trials: int = 10
+    timeout_s: float = 10.0
+    delta: float = 1e-4
+    experiment_id: str = ""
+    adaptive_timeout: bool = True  # lowerTimeout ratchet (inc/harness.h:92)
+    check_every_trial: bool = False  # reference checks every trial; default
+    # here is once (device results are deterministic across trials)
+
+
+@dataclasses.dataclass
+class BenchmarkResult:
+    records: List[BenchRecord]
+    median_ns: float
+    best_ns: float
+    correctness: Correctness
+    gnnz_per_s: float
+    roofline_frac: float
+    iterations: int = 0  # fixpoint apps
+
+    def summary(self) -> str:
+        return (
+            f"median {self.median_ns / 1e6:.3f} ms, best {self.best_ns / 1e6:.3f} ms, "
+            f"{self.gnnz_per_s:.3f} Gnnz/s ({self.roofline_frac * 100:.1f}% of roofline), "
+            f"{self.correctness.value}"
+        )
+
+
+def _device_name() -> str:
+    d = jax.devices()[0]
+    return f"{d.device_kind}"
+
+
+def benchmark_spmv(
+    problem,
+    gold: Optional[np.ndarray] = None,
+    config: BenchmarkConfig = BenchmarkConfig(),
+    geometry: Geometry = Geometry(),
+    matrix_name: str = "",
+    nnz: int = 0,
+) -> BenchmarkResult:
+    """Benchmark a single-shot semiring SpMV — the app/spmv.cpp loop."""
+    fn = jax.jit(
+        lambda op, x, y: spmv(
+            op, x, y, sr=problem.sr, variant=problem.variant,
+            n_rows=problem.n_rows, alpha=problem.alpha, beta=problem.beta,
+        )
+    )
+    op, x, y = problem.operand, problem.x0, problem.y
+
+    with ScopedTimer("compile", "benchmark_spmv"):
+        out = fn(op, x, y)
+        out.block_until_ready()
+
+    correctness = (
+        check_result(np.asarray(out), gold, delta=config.delta)
+        if gold is not None else Correctness.NOT_CHECKED
+    )
+
+    x_bytes = x.size * x.dtype.itemsize
+    out_bytes = out.size * out.dtype.itemsize
+    sol = variant_bytes(problem.variant, op, x_bytes, out_bytes) / device_hbm_bandwidth()
+
+    records: List[BenchRecord] = []
+    timeout = config.timeout_s
+    best = float("inf")
+    for trial in range(config.trials):
+        t0 = time.perf_counter()
+        res = fn(op, x, y)
+        res.block_until_ready()
+        dt = time.perf_counter() - t0
+        report_timing("executeKernel", "benchmark_spmv", dt * 1e3)
+        best = min(best, dt)
+        corr = correctness
+        if config.check_every_trial and gold is not None:
+            corr = check_result(np.asarray(res), gold, delta=config.delta)
+        records.append(
+            BenchRecord(
+                time_ns=dt * 1e9, correctness=corr, kernel=problem.variant,
+                geometry=str(geometry), trial=trial, iteration=0,
+                statistic=Statistic.RAW_RESULT, matrix=matrix_name,
+                experiment_id=config.experiment_id, device=_device_name(),
+                nnz=nnz, roofline_frac=(sol / dt) if dt > 0 else 0.0,
+            ).finalize()
+        )
+        # adaptive timeout ratchet (inc/harness.h:87-98): cap future trials
+        # at 2× the best observed time, never raising the cap
+        if config.adaptive_timeout:
+            timeout = min(timeout, 2.0 * dt)
+        if dt > timeout:
+            log.info("trial %d exceeded timeout %.3fs; stopping", trial, timeout)
+            break
+
+    med = median_record(records)
+    if med is not None:
+        med.matrix = matrix_name
+        med.roofline_frac = sol / (med.time_ns * 1e-9) if med.time_ns else 0.0
+        records.append(med)
+    return BenchmarkResult(
+        records=records,
+        median_ns=med.time_ns if med else 0.0,
+        best_ns=best * 1e9,
+        correctness=correctness,
+        gnnz_per_s=(nnz / (med.time_ns * 1e-9) / 1e9) if med and med.time_ns else 0.0,
+        roofline_frac=med.roofline_frac if med else 0.0,
+    )
+
+
+def benchmark_fixpoint(
+    solve_fn: Callable[[], Any],
+    gold: Optional[np.ndarray] = None,
+    config: BenchmarkConfig = BenchmarkConfig(),
+    geometry: Geometry = Geometry(),
+    matrix_name: str = "",
+    kernel_name: str = "fixpoint",
+    nnz: int = 0,
+    exact: bool = False,
+) -> BenchmarkResult:
+    """Benchmark a whole iterate-to-fixpoint solve (IterativeHarness
+    semantics, inc/harness.h:441): each trial runs the full fixpoint;
+    the MULTI_ITERATION_SUM row records total solve time
+    (app/sssp.cpp:73-85), and per-iteration throughput derives from the
+    on-device iteration counter."""
+    with ScopedTimer("compile", "benchmark_fixpoint"):
+        res = solve_fn()
+        jax.block_until_ready(res)
+    iters = int(res.iterations)
+    out = np.asarray(res.x)
+    correctness = (
+        check_result(out, gold, delta=config.delta, exact=exact)
+        if gold is not None else Correctness.NOT_CHECKED
+    )
+
+    records: List[BenchRecord] = []
+    timeout = config.timeout_s
+    best = float("inf")
+    for trial in range(config.trials):
+        t0 = time.perf_counter()
+        res = solve_fn()
+        jax.block_until_ready(res)
+        dt = time.perf_counter() - t0
+        report_timing("executeRun", "benchmark_fixpoint", dt * 1e3)
+        best = min(best, dt)
+        records.append(
+            BenchRecord(
+                time_ns=dt * 1e9, correctness=correctness,
+                kernel=kernel_name, geometry=str(geometry), trial=trial,
+                iteration=iters, statistic=Statistic.MULTI_ITERATION_SUM,
+                matrix=matrix_name, experiment_id=config.experiment_id,
+                device=_device_name(), nnz=nnz * max(iters, 1),
+            ).finalize()
+        )
+        if config.adaptive_timeout:
+            timeout = min(timeout, 2.0 * dt)
+        if dt > timeout:
+            break
+
+    times = sorted(r.time_ns for r in records)
+    med_ns = times[len(times) // 2] if times else 0.0
+    return BenchmarkResult(
+        records=records,
+        median_ns=med_ns,
+        best_ns=best * 1e9,
+        correctness=correctness,
+        gnnz_per_s=(nnz * iters / (med_ns * 1e-9) / 1e9) if med_ns else 0.0,
+        roofline_frac=0.0,
+        iterations=iters,
+    )

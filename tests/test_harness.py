@@ -1,0 +1,149 @@
+"""harness/: benchmark runner, stats records, sweep driver, CLI."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from sparseharness_tpu.algorithms import make_spmv_problem, sssp
+from sparseharness_tpu.formats import random_coo, random_graph_coo, write_mtx
+from sparseharness_tpu.gold import spmv_gold, sssp_gold, Correctness
+from sparseharness_tpu.harness import (
+    BenchmarkConfig, benchmark_spmv, benchmark_fixpoint,
+    default_sweep, run_sweep, best_per_matrix, load_runfile,
+    to_sql, to_jsonl, write_records,
+)
+from sparseharness_tpu.harness.stats import BenchRecord, Statistic, median_record
+
+
+@pytest.fixture(scope="module")
+def coo():
+    return random_coo(150, 150, 800, seed=9)
+
+
+def test_benchmark_spmv_produces_records(coo):
+    prob = make_spmv_problem(coo, variant="ell", seed=1)
+    gold = spmv_gold(coo, np.asarray(prob.x0), np.asarray(prob.y), prob.sr)
+    res = benchmark_spmv(
+        prob, gold=gold, config=BenchmarkConfig(trials=3),
+        matrix_name="synthetic", nnz=coo.nnz,
+    )
+    assert res.correctness is Correctness.CORRECT
+    raws = [r for r in res.records if r.statistic is Statistic.RAW_RESULT]
+    meds = [r for r in res.records if r.statistic is Statistic.MEDIAN_RESULT]
+    assert len(raws) == 3 and len(meds) == 1
+    assert res.median_ns > 0 and res.gnnz_per_s > 0
+
+
+def test_benchmark_detects_wrong_gold(coo):
+    prob = make_spmv_problem(coo, variant="ell", seed=1)
+    bad_gold = np.zeros(coo.shape[0], np.float32)
+    res = benchmark_spmv(prob, gold=bad_gold, config=BenchmarkConfig(trials=1))
+    assert res.correctness is Correctness.INCORRECT
+
+
+def test_benchmark_fixpoint_records_iterations():
+    g = random_graph_coo(100, 2.5, seed=2)
+    gold = sssp_gold(g, 0)
+    res = benchmark_fixpoint(
+        lambda: sssp(g, 0),
+        gold=gold, config=BenchmarkConfig(trials=2), matrix_name="g",
+        nnz=g.nnz,
+    )
+    assert res.correctness is Correctness.CORRECT
+    assert res.iterations > 1
+    assert all(
+        r.statistic is Statistic.MULTI_ITERATION_SUM for r in res.records
+    )
+
+
+def test_sql_and_jsonl_rendering():
+    rec = BenchRecord(
+        time_ns=12345.0, correctness=Correctness.CORRECT, kernel="ell",
+        geometry="8x128", trial=0, iteration=0,
+        statistic=Statistic.RAW_RESULT, matrix="m.mtx", experiment_id="e1",
+        device="TPU v5 lite", nnz=100,
+    ).finalize()
+    sql = to_sql(rec, "results")
+    assert sql.startswith("INSERT INTO results (")
+    assert "'correct'" in sql and "'ell'" in sql and "'e1'" in sql
+    d = json.loads(to_jsonl(rec))
+    assert d["correctness"] == "correct" and d["gnnz_per_s"] > 0
+    buf_j, buf_s = io.StringIO(), io.StringIO()
+    write_records([rec], jsonl=buf_j, sql=buf_s)
+    assert buf_j.getvalue().count("\n") == 1
+    assert buf_s.getvalue().count("\n") == 1
+
+
+def test_median_record():
+    def rec(ns, trial):
+        return BenchRecord(
+            time_ns=ns, correctness=Correctness.CORRECT, kernel="k",
+            geometry="8x128", trial=trial, iteration=0,
+            statistic=Statistic.RAW_RESULT,
+        )
+
+    med = median_record([rec(10.0, 0), rec(30.0, 1), rec(20.0, 2)])
+    assert med.time_ns == 20.0
+    assert med.statistic is Statistic.MEDIAN_RESULT
+
+
+def test_run_sweep_and_best(coo):
+    points = [p for p in default_sweep(["ell", "coo_seg"])][:3]
+    results = run_sweep(
+        {"m1": coo}, points, config=BenchmarkConfig(trials=1)
+    )
+    assert "m1" in results and len(results["m1"]) == len(points)
+    for res in results["m1"].values():
+        assert res.correctness is Correctness.CORRECT
+    best = best_per_matrix(results)
+    assert best["m1"] in results["m1"]
+
+
+def test_load_reference_runfile(tmp_path):
+    rf = tmp_path / "runfile.csv"
+    rf.write_text("524288,1,1,128,1,1,\n16384,1,1,64,1,1,\n")
+    points = load_runfile(str(rf), "bsr_pallas")
+    assert len(points) >= 1
+    for p in points:
+        assert p.geometry.block_m % 8 == 0
+        assert p.geometry.block_n % 128 == 0
+
+
+def test_cli_spmv(tmp_path, capsys):
+    from sparseharness_tpu.cli.main import spmv_main
+
+    m = tmp_path / "m.mtx"
+    write_mtx(str(m), random_coo(60, 60, 200, seed=3))
+    jsonl = tmp_path / "out.jsonl"
+    rc = spmv_main([
+        "-m", str(m), "-k", "ell", "-n", "2", "--jsonl", str(jsonl),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Gnnz/s" in out and "correct" in out
+    lines = jsonl.read_text().strip().splitlines()
+    assert len(lines) == 3  # 2 raw + 1 median
+    assert json.loads(lines[0])["kernel"] == "ell"
+
+
+def test_cli_sssp(tmp_path, capsys):
+    from sparseharness_tpu.cli.main import sssp_main
+
+    g = random_graph_coo(80, 2.0, seed=4)
+    m = tmp_path / "g.mtx"
+    write_mtx(str(m), g)
+    rc = sssp_main(["-m", str(m), "-n", "1", "--root", "0"])
+    assert rc == 0
+    assert "iterations" in capsys.readouterr().out
+
+
+def test_timeout_ratchet_stops_early(coo, monkeypatch):
+    # force an absurdly low timeout: only the first trial should record
+    prob = make_spmv_problem(coo, variant="ell", seed=1)
+    res = benchmark_spmv(
+        prob, config=BenchmarkConfig(trials=50, timeout_s=0.0),
+    )
+    raws = [r for r in res.records if r.statistic is Statistic.RAW_RESULT]
+    assert len(raws) == 1
