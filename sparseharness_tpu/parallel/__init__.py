@@ -1,0 +1,18 @@
+from sparseharness_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    device_count,
+)
+from sparseharness_tpu.parallel.sharded import (  # noqa: F401
+    ShardedEll,
+    build_sharded_ell,
+    sharded_spmv,
+    sharded_fixpoint,
+    sharded_pagerank,
+    sharded_sssp,
+    sharded_bfs,
+    sharded_eigenvector,
+)
+from sparseharness_tpu.parallel.auto import (  # noqa: F401
+    shard_operand_rows,
+    auto_sharded_spmv,
+)

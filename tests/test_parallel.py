@@ -1,0 +1,119 @@
+"""parallel/: SPMD execution on the virtual 8-device CPU mesh.
+
+Multi-host logic is tested the way SURVEY §4 prescribes: CPU backend with
+xla_force_host_platform_device_count=8 (set in conftest) — the oclgrind-
+style simulated-device story for sharding.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from sparseharness_tpu.formats import random_graph_coo, random_coo
+from sparseharness_tpu.gold import (
+    spmv_gold, sssp_gold, bfs_reach_gold, pagerank_gold, eigenvector_gold,
+)
+from sparseharness_tpu.parallel import (
+    make_mesh, build_sharded_ell, sharded_spmv, sharded_sssp, sharded_bfs,
+    sharded_pagerank, sharded_eigenvector, auto_sharded_spmv,
+)
+from sparseharness_tpu.semiring import PLUS_TIMES, MIN_PLUS
+
+N_DEV = len(jax.devices())
+pytestmark = pytest.mark.skipif(
+    N_DEV < 2, reason="needs multi-device backend (see conftest)"
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return random_graph_coo(300, 3.0, seed=11)
+
+
+def test_mesh_has_8_virtual_devices(mesh):
+    assert mesh.devices.size == N_DEV == 8
+
+
+def test_sharded_ell_partition(graph, mesh):
+    op, chunk = build_sharded_ell(graph, PLUS_TIMES, mesh.devices.size)
+    d = mesh.devices.size
+    assert op.cols.shape[0] == d
+    assert op.cols.shape[1] == chunk
+    assert d * chunk >= graph.shape[0]
+    # total nnz preserved
+    assert int((np.asarray(op.vals) != 0).sum()) == int((graph.vals != 0).sum())
+
+
+def test_sharded_spmv_matches_gold(graph, mesh):
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0.2, 1.0, graph.shape[1]).astype(np.float32)
+    gold = spmv_gold(graph, x, np.zeros(graph.shape[0], np.float32), PLUS_TIMES)
+    op, _ = build_sharded_ell(graph, PLUS_TIMES, mesh.devices.size)
+    out = np.asarray(
+        sharded_spmv(mesh, op, jax.numpy.asarray(x), PLUS_TIMES,
+                     n_rows=graph.shape[0])
+    )
+    np.testing.assert_allclose(out, gold, rtol=1e-5)
+
+
+def test_sharded_spmv_min_plus(graph, mesh):
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0.0, 2.0, graph.shape[1]).astype(np.float32)
+    gold = spmv_gold(
+        graph, x, np.full(graph.shape[0], MIN_PLUS.zero, np.float32), MIN_PLUS
+    )
+    op, _ = build_sharded_ell(graph, MIN_PLUS, mesh.devices.size)
+    out = np.asarray(
+        sharded_spmv(mesh, op, jax.numpy.asarray(x), MIN_PLUS,
+                     n_rows=graph.shape[0])
+    )
+    np.testing.assert_allclose(out, gold, rtol=1e-5)
+
+
+def test_sharded_sssp(graph, mesh):
+    res = sharded_sssp(graph, root=0, mesh=mesh)
+    gold = sssp_gold(graph, 0)
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), gold, rtol=1e-5)
+
+
+def test_sharded_bfs(graph, mesh):
+    res = sharded_bfs(graph, root=0, mesh=mesh)
+    np.testing.assert_array_equal(
+        np.asarray(res.x), bfs_reach_gold(graph, 0)
+    )
+
+
+def test_sharded_pagerank(graph, mesh):
+    res = sharded_pagerank(graph, mesh=mesh)
+    gold = pagerank_gold(graph)
+    assert res.converged
+    assert np.abs(np.asarray(res.x) - gold).max() < 1e-4
+
+
+def test_sharded_eigenvector(mesh):
+    coo = random_coo(120, 120, 900, seed=3)
+    res = sharded_eigenvector(coo, mesh=mesh)
+    gold = eigenvector_gold(coo)
+    v = np.asarray(res.x)
+    sign = 1.0 if float(np.dot(v, gold)) >= 0 else -1.0
+    assert np.abs(sign * v - gold).max() < 1e-3
+
+
+def test_auto_sharded_spmv(graph, mesh):
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0.2, 1.0, graph.shape[1]).astype(np.float32)
+    gold = spmv_gold(graph, x, np.zeros(graph.shape[0], np.float32), PLUS_TIMES)
+    out = np.asarray(auto_sharded_spmv(mesh, graph, PLUS_TIMES, x))
+    np.testing.assert_allclose(out, gold, rtol=1e-5)
+
+
+def test_subset_mesh(graph):
+    mesh2 = make_mesh(2)
+    res = sharded_sssp(graph, root=0, mesh=mesh2)
+    np.testing.assert_allclose(np.asarray(res.x), sssp_gold(graph, 0), rtol=1e-5)
