@@ -1,0 +1,186 @@
+// Fast MatrixMarket coordinate-body parser.
+//
+// Native counterpart of the reference's C parser stack (src/mmio.cpp NIST
+// reader + the fscanf entry loop in src/sparse_matrix.cpp:50-62), redesigned
+// for throughput: one read of the whole body, branch-light inline integer /
+// float scanning, no per-line stdio. Exposed as a C ABI consumed from Python
+// via ctypes (formats/native_io.py); the NumPy path remains the behavioural
+// reference and fallback.
+//
+// Build: native/Makefile -> libfastmtx.so
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+namespace {
+
+inline const char *skip_ws(const char *p, const char *end) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n'))
+    ++p;
+  return p;
+}
+
+inline const char *parse_i32(const char *p, const char *end, int32_t *out) {
+  p = skip_ws(p, end);
+  bool neg = false;
+  if (p < end && (*p == '-' || *p == '+')) {
+    neg = (*p == '-');
+    ++p;
+  }
+  int64_t v = 0;
+  const char *start = p;
+  while (p < end && *p >= '0' && *p <= '9') {
+    v = v * 10 + (*p - '0');
+    ++p;
+  }
+  if (p == start) return nullptr;
+  *out = static_cast<int32_t>(neg ? -v : v);
+  return p;
+}
+
+// Fast decimal float: mantissa/exponent scan; falls back to strtod for
+// anything unusual (hex, inf, nan) to stay bit-compatible with libc.
+inline const char *parse_f64(const char *p, const char *end, double *out) {
+  p = skip_ws(p, end);
+  const char *start = p;
+  bool neg = false;
+  if (p < end && (*p == '-' || *p == '+')) {
+    neg = (*p == '-');
+    ++p;
+  }
+  int64_t mant = 0;
+  int digits = 0, frac = 0;
+  bool any = false;
+  while (p < end && *p >= '0' && *p <= '9' && digits < 18) {
+    mant = mant * 10 + (*p - '0');
+    ++digits;
+    ++p;
+    any = true;
+  }
+  if (digits >= 18) {  // precision edge: defer to strtod
+    char *e;
+    *out = strtod(start, &e);
+    return e > start ? e : nullptr;
+  }
+  if (p < end && *p == '.') {
+    ++p;
+    while (p < end && *p >= '0' && *p <= '9') {
+      if (digits < 18) {
+        mant = mant * 10 + (*p - '0');
+        ++digits;
+        ++frac;
+      }
+      ++p;
+      any = true;
+    }
+  }
+  if (!any) return nullptr;
+  int exp10 = 0;
+  if (p < end && (*p == 'e' || *p == 'E' || *p == 'd' || *p == 'D')) {
+    ++p;
+    bool eneg = false;
+    if (p < end && (*p == '-' || *p == '+')) {
+      eneg = (*p == '-');
+      ++p;
+    }
+    int ev = 0;
+    const char *estart = p;
+    while (p < end && *p >= '0' && *p <= '9') {
+      ev = ev * 10 + (*p - '0');
+      ++p;
+    }
+    if (p == estart) return nullptr;
+    exp10 = eneg ? -ev : ev;
+  }
+  static const double pow10[] = {1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,
+                                 1e7,  1e8,  1e9,  1e10, 1e11, 1e12, 1e13,
+                                 1e14, 1e15, 1e16, 1e17, 1e18};
+  double v = static_cast<double>(mant);
+  int e = exp10 - frac;
+  if (e >= -18 && e <= 18) {
+    v = e >= 0 ? v * pow10[e] : v / pow10[-e];
+  } else {
+    char *endp;
+    v = strtod(start, &endp);
+    p = endp;
+  }
+  *out = neg ? -v : v;
+  return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse `nnz` coordinate entries starting at byte `offset` of `path`.
+// pattern != 0 -> two columns (values filled with 1.0).
+// rows/cols are 0-based on output. Returns number parsed, or -errno-ish:
+//   -1 file open/read failure, -2 malformed entry.
+int64_t fastmtx_parse(const char *path, int64_t offset, int64_t nnz,
+                      int pattern, int32_t *rows, int32_t *cols,
+                      double *vals) {
+  FILE *f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  if (offset > size) {
+    fclose(f);
+    return -1;
+  }
+  fseek(f, offset, SEEK_SET);
+  long body = size - offset;
+  char *buf = static_cast<char *>(malloc(body + 1));
+  if (!buf) {
+    fclose(f);
+    return -1;
+  }
+  long got = static_cast<long>(fread(buf, 1, body, f));
+  fclose(f);
+  buf[got] = '\0';
+  const char *p = buf;
+  const char *end = buf + got;
+  int64_t i = 0;
+  for (; i < nnz; ++i) {
+    int32_t r, c;
+    p = parse_i32(p, end, &r);
+    if (!p) break;
+    p = parse_i32(p, end, &c);
+    if (!p) break;
+    double v = 1.0;
+    if (!pattern) {
+      p = parse_f64(p, end, &v);
+      if (!p) break;
+    }
+    rows[i] = r - 1;
+    cols[i] = c - 1;
+    vals[i] = v;
+  }
+  free(buf);
+  return i;
+}
+
+// Row-sorted CSR encode: counts + prefix sum + stable scatter.
+// Native counterpart of calculate_ellpack's histogram+fill
+// (src/sparse_matrix.cpp:72-120) without the byte packing.
+void fastmtx_csr_encode(int64_t nnz, int32_t n_rows, const int32_t *rows,
+                        const int32_t *cols, const double *vals,
+                        int32_t *indptr /* n_rows+1 */,
+                        int32_t *out_cols /* nnz */,
+                        float *out_vals /* nnz */) {
+  memset(indptr, 0, sizeof(int32_t) * (n_rows + 1));
+  for (int64_t i = 0; i < nnz; ++i) ++indptr[rows[i] + 1];
+  for (int32_t r = 0; r < n_rows; ++r) indptr[r + 1] += indptr[r];
+  int32_t *cursor = static_cast<int32_t *>(
+      malloc(sizeof(int32_t) * n_rows));
+  memcpy(cursor, indptr, sizeof(int32_t) * n_rows);
+  for (int64_t i = 0; i < nnz; ++i) {
+    int32_t at = cursor[rows[i]]++;
+    out_cols[at] = cols[i];
+    out_vals[at] = static_cast<float>(vals[i]);
+  }
+  free(cursor);
+}
+
+}  // extern "C"

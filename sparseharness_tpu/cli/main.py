@@ -208,5 +208,38 @@ def eigenvector_main(argv: Optional[list] = None) -> int:
     )
 
 
+def just_parser_main(argv: Optional[list] = None) -> int:
+    """Preprocessing-only benchmark: N trials of .mtx load + operand encode
+    with no device work — the app/just_parser.cpp analogue (profiled by
+    scripts/parser_perf/profile_parser.sh in the reference)."""
+    import time
+
+    p = argparse.ArgumentParser(description="parser/encode micro-benchmark")
+    p.add_argument("-m", "--matrix", required=True)
+    p.add_argument("-k", "--kernel", default="ell")
+    p.add_argument("-n", "--trials", type=int, default=5)
+    p.add_argument("--no-native", action="store_true")
+    args = p.parse_args(argv)
+    from sparseharness_tpu.formats import read_mtx
+    from sparseharness_tpu.ops import build_operand
+    from sparseharness_tpu.semiring import PLUS_TIMES
+    from sparseharness_tpu.utils.timing import report_timing
+
+    for trial in range(args.trials):
+        t0 = time.perf_counter()
+        coo = read_mtx(args.matrix, use_native=not args.no_native)
+        t1 = time.perf_counter()
+        build_operand(coo, PLUS_TIMES, args.kernel)
+        t2 = time.perf_counter()
+        report_timing("parse", "just_parser", (t1 - t0) * 1e3)
+        report_timing("encode", "just_parser", (t2 - t1) * 1e3)
+        print(
+            f"trial {trial}: parse {1e3 * (t1 - t0):.2f} ms "
+            f"({coo.nnz / max(t1 - t0, 1e-9) / 1e6:.1f} Mnnz/s), "
+            f"encode[{args.kernel}] {1e3 * (t2 - t1):.2f} ms"
+        )
+    return 0
+
+
 if __name__ == "__main__":
     sys.exit(spmv_main())

@@ -1,0 +1,144 @@
+"""ctypes bindings to the native MatrixMarket parser (native/fast_mtx.cpp).
+
+The reference's data-loading layer is native C/C++ (src/mmio.cpp + the
+fscanf loop at src/sparse_matrix.cpp:50); this module is its TPU-framework
+counterpart. The library is built on demand with the local toolchain
+(native/Makefile) and every use is guarded — read_mtx falls back to the
+NumPy path when the toolchain or binary is unavailable
+(SPARSEHARNESS_TPU_NATIVE=0 disables it entirely).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libfastmtx.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _load() -> ctypes.CDLL:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _tried:
+            raise NativeUnavailable("native library previously failed to load")
+        _tried = True
+        if not os.path.exists(_LIB_PATH):
+            if not os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
+                raise NativeUnavailable("native sources not present")
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "-s"],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception as e:  # toolchain missing / build failure
+                raise NativeUnavailable(f"native build failed: {e}") from e
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.fastmtx_parse.restype = ctypes.c_int64
+        lib.fastmtx_parse.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.fastmtx_csr_encode.restype = None
+        lib.fastmtx_csr_encode.argtypes = [
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def _body_offset(path: str) -> int:
+    """Byte offset of the first entry line (after banner/comments/size)."""
+    offset = 0
+    with open(path, "rb") as f:
+        saw_size = False
+        for line in f:
+            offset += len(line)
+            s = line.strip()
+            if not s or s.startswith(b"%"):
+                continue
+            if not saw_size:
+                saw_size = True  # the size line
+                return offset
+    raise ValueError("missing size line")
+
+
+def parse_entries(
+    path: str, header
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(rows, cols, vals) 0-based via the native parser. Raises
+    NativeUnavailable / ValueError on any failure (caller falls back)."""
+    lib = _load()
+    nnz = header.nnz
+    rows = np.empty(nnz, np.int32)
+    cols = np.empty(nnz, np.int32)
+    vals = np.empty(nnz, np.float64)
+    got = lib.fastmtx_parse(
+        path.encode(), _body_offset(path), nnz,
+        1 if header.field == "pattern" else 0,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if got != nnz:
+        raise ValueError(f"native parser read {got} of {nnz} entries")
+    if nnz and (
+        rows.min() < 0 or cols.min() < 0
+        or rows.max() >= header.rows or cols.max() >= header.cols
+    ):
+        raise ValueError("entry index out of bounds")
+    return rows.astype(np.int64), cols.astype(np.int64), vals
+
+
+def csr_encode(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+               n_rows: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Native histogram+scatter CSR encode (row-major, stable)."""
+    lib = _load()
+    nnz = len(rows)
+    rows32 = np.ascontiguousarray(rows, np.int32)
+    cols32 = np.ascontiguousarray(cols, np.int32)
+    vals64 = np.ascontiguousarray(vals, np.float64)
+    indptr = np.empty(n_rows + 1, np.int32)
+    out_cols = np.empty(nnz, np.int32)
+    out_vals = np.empty(nnz, np.float32)
+    lib.fastmtx_csr_encode(
+        nnz, n_rows,
+        rows32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return indptr, out_cols, out_vals

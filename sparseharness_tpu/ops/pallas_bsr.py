@@ -18,6 +18,14 @@ nonzero block positions:
 - every block-row is guaranteed ≥1 tile at build time so all output blocks
   are initialized.
 
+**Slabbing.** Scalar-prefetch arrays live in SMEM, which caps tiles per
+kernel launch (~a few thousand). Large matrices are therefore built as S
+slabs of exactly (rows_per_slab block-rows, tiles_per_slab tiles) — padded
+with ⊕-identity tiles — and executed by a single ``lax.scan`` whose body is
+one pallas_call (compiled once, S sequential launches). This is the moral
+equivalent of the reference's splitSize/chunkSize schedule axis applied at
+the XLA level.
+
 Boolean semirings are carried as int32 on-device (or ≡ max, and ≡ min on
 {0,1}) because the VPU has no native bool vregs.
 """
@@ -36,29 +44,38 @@ from jax.experimental.pallas import tpu as pltpu
 from sparseharness_tpu.formats.sparse import COO, bsr_from_coo, round_up
 from sparseharness_tpu.semiring import Semiring
 
+# tiles per slab cap: 3 int32 scalar-prefetch arrays must fit comfortably in
+# SMEM alongside loop state (observed hard failure at 128k tiles = 512KB/array)
+DEFAULT_TILES_PER_SLAB = 1024
+
 
 class BsrOperand(NamedTuple):
-    tiles: jax.Array       # (T, bm, bn) dense tiles, pads = carrier zero
-    tile_rows: jax.Array   # int32 (T,) block-row of each tile (sorted)
-    tile_cols: jax.Array   # int32 (T,) block-col of each tile
-    row_start: jax.Array   # int32 (T,) 1 at the first tile of a block-row
+    """Slab layout invariant: slab s owns block rows [s·rps, (s+1)·rps) with
+    rps = ceil(n_block_rows / S) — dp_bsr re-derives rps from shapes."""
+
+    tiles: jax.Array       # (S, T, bm, bn) dense tiles, pads = carrier zero
+    tile_rows: jax.Array   # int32 (S, T) block-row LOCAL to the slab
+    tile_cols: jax.Array   # int32 (S, T) GLOBAL block-col of each tile
+    row_start: jax.Array   # int32 (S, T) 1 at the first tile of a block-row
 
 
 def _carrier(sr: Semiring):
-    """(dtype, add, mul, reduce, zero) with bools carried as int32."""
+    """(dtype, add, mul, reduce, zero, carried_as_int) with bools → int32."""
     if np.dtype(sr.dtype) == np.bool_:
-        return (
-            jnp.int32,
-            jnp.maximum,
-            jnp.minimum,
-            jnp.max,
-            np.int32(0),
-            True,
-        )
-    return sr.dtype, sr.add, sr.mul, sr.add_reduce, np.asarray(sr.zero, np.dtype(sr.dtype)), False
+        return jnp.int32, jnp.maximum, jnp.minimum, jnp.max, np.int32(0), True
+    return (
+        sr.dtype, sr.add, sr.mul, sr.add_reduce,
+        np.asarray(sr.zero, np.dtype(sr.dtype)), False,
+    )
 
 
-def build_bsr(coo: COO, sr: Semiring, bm: int = 8, bn: int = 128) -> BsrOperand:
+def build_bsr(
+    coo: COO,
+    sr: Semiring,
+    bm: int = 8,
+    bn: int = 128,
+    tiles_per_slab: int = DEFAULT_TILES_PER_SLAB,
+) -> BsrOperand:
     dtype, _, _, _, zero, as_int = _carrier(sr)
     vals = coo.vals
     if as_int:
@@ -81,13 +98,77 @@ def build_bsr(coo: COO, sr: Semiring, bm: int = 8, bn: int = 128) -> BsrOperand:
         order = np.argsort(rows, kind="stable")
         tiles, rows, cols = tiles[order], rows[order], cols[order]
 
-    starts = np.ones(len(rows), dtype=np.int32)
-    starts[1:] = (rows[1:] != rows[:-1]).astype(np.int32)
+    # ---- slab partition: consecutive block rows, equal tile budget -----
+    counts = np.bincount(rows, minlength=n_block_rows)
+    t_slab = max(tiles_per_slab, int(counts.max()))
+    # greedy pack rows into slabs of ≤ t_slab tiles, then use the max row
+    # span as the uniform rows_per_slab (re-packed to uniform row ranges)
+    rows_per_slab = n_block_rows
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    if cum[-1] > t_slab:
+        # largest row count r such that every window of r rows ≤ t_slab
+        rows_per_slab = 1
+        lo, hi = 1, n_block_rows
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            win = cum[mid:] - cum[:-mid]
+            if win.max() <= t_slab:
+                rows_per_slab = mid
+                lo = mid + 1
+            else:
+                hi = mid - 1
+    # re-balance to the fixpoint of rps = ceil(nbr/S), S = ceil(nbr/rps) so
+    # dp_bsr can re-derive rps from the slab count alone (shrinking rps
+    # keeps every slab within the tile budget)
+    n_slabs = -(-n_block_rows // rows_per_slab)
+    while True:
+        rows_per_slab = -(-n_block_rows // n_slabs)
+        s2 = -(-n_block_rows // rows_per_slab)
+        if s2 == n_slabs:
+            break
+        n_slabs = s2
+    # actual tile budget = max tiles in any slab (≤ t_slab), padded mult 8
+    slab_tiles = max(
+        int(
+            max(
+                cum[min((s + 1) * rows_per_slab, n_block_rows)]
+                - cum[min(s * rows_per_slab, n_block_rows)]
+                for s in range(n_slabs)
+            )
+        ),
+        1,
+    )
+    slab_tiles = round_up(slab_tiles, 8)
+
+    s_tiles = np.full((n_slabs, slab_tiles, bm, bn), zero, dtype=tiles.dtype)
+    s_rows = np.zeros((n_slabs, slab_tiles), np.int32)
+    s_cols = np.zeros((n_slabs, slab_tiles), np.int32)
+    s_start = np.zeros((n_slabs, slab_tiles), np.int32)
+    for s in range(n_slabs):
+        r0 = s * rows_per_slab
+        r1 = min(r0 + rows_per_slab, n_block_rows)
+        a, b = cum[r0], cum[r1]
+        k = b - a
+        s_tiles[s, :k] = tiles[a:b]
+        local = rows[a:b] - r0
+        s_rows[s, :k] = local
+        s_cols[s, :k] = cols[a:b]
+        s_start[s, 0] = 1
+        if k > 1:
+            s_start[s, 1:k] = (local[1:] != local[:-1]).astype(np.int32)
+        if k < slab_tiles:
+            # padding tiles accumulate ⊕-identity into the last real row
+            # (start=0 ⇒ no re-zeroing); empty slabs target local row 0
+            last = local[-1] if k > 0 else 0
+            s_rows[s, k:] = last
+            if k == 0:
+                s_start[s, 0] = 1  # still zero-init the block
+
     return BsrOperand(
-        tiles=jnp.asarray(tiles, dtype=dtype),
-        tile_rows=jnp.asarray(rows),
-        tile_cols=jnp.asarray(cols),
-        row_start=jnp.asarray(starts),
+        tiles=jnp.asarray(s_tiles, dtype=dtype),
+        tile_rows=jnp.asarray(s_rows),
+        tile_cols=jnp.asarray(s_cols),
+        row_start=jnp.asarray(s_start),
     )
 
 
@@ -95,34 +176,27 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def dp_bsr(op: BsrOperand, x: jax.Array, sr: Semiring, *,
-           n_rows: int) -> jax.Array:
-    """Semiring dot-products through the Pallas tile sweep: pad x to
-    block-column multiples, run the kernel, return the padded-row dp."""
-    _, bm, bn = op.tiles.shape[-3:]
-    n_block_rows = round_up(max(n_rows, 1), bm) // bm
-    c = x.shape[0]
-    c_pad = round_up(max(c, 1), bn)
-    zero = jnp.asarray(sr.zero, sr.dtype)
-    x_pad = jnp.pad(x, (0, c_pad - c), constant_values=zero)
-    return bsr_spmv_padded(op, x_pad, n_block_rows=n_block_rows, sr=sr)
-
-
 def _zero_scalar(dtype, zero):
     return jnp.asarray(zero, dtype)
 
 
-def bsr_spmv_padded(op: BsrOperand, x_pad: jax.Array, *, n_block_rows: int,
-                    sr: Semiring) -> jax.Array:
-    """dp over the padded row space: (n_block_rows * bm,).
+def dp_bsr(op: BsrOperand, x: jax.Array, sr: Semiring, *,
+           n_rows: int) -> jax.Array:
+    """Semiring dot-products through the slab-scanned Pallas tile sweep.
 
-    x_pad: (C_pad,) with C_pad a multiple of bn, pads = carrier zero.
-    """
-    dtype, add, mul, reduce_, zero, as_int = _carrier(sr)
-    T, bm, bn = op.tiles.shape
-    # TPU block rules: the last two dims of every block must be (8k, 128m)
-    # or equal to the array dims — so x and out ride as 3D with a unit axis.
-    x3d = x_pad.reshape(-1, 1, bn)  # (C_blocks, 1, bn)
+    Returns dp over the padded row space (n_slabs · rows_per_slab · bm ≥
+    n_rows); callers slice. rows_per_slab is recovered from the static
+    shapes: ceil(n_block_rows / n_slabs) rounded so S·rps covers n_rows."""
+    S, T, bm, bn = op.tiles.shape
+    n_block_rows = round_up(max(n_rows, 1), bm) // bm
+    rows_per_slab = -(-n_block_rows // S)
+    c = x.shape[0]
+    c_pad = round_up(max(c, 1), bn)
+    zero = jnp.asarray(sr.zero, sr.dtype)
+    x_pad = jnp.pad(x.astype(sr.dtype), (0, c_pad - c), constant_values=zero)
+
+    dtype, add, mul, reduce_, czero, as_int = _carrier(sr)
+    x3d = x_pad.reshape(-1, 1, bn)
     if as_int:
         x3d = x3d.astype(jnp.int32)
 
@@ -131,7 +205,7 @@ def bsr_spmv_padded(op: BsrOperand, x_pad: jax.Array, *, n_block_rows: int,
 
         @pl.when(starts_ref[t] == 1)
         def _():
-            out_ref[...] = jnp.full_like(out_ref, _zero_scalar(dtype, zero))
+            out_ref[...] = jnp.full_like(out_ref, _zero_scalar(dtype, czero))
 
         contrib = reduce_(mul(x_ref[0], tile_ref[0]), axis=1)  # (bm,)
         out_ref[0, 0, :] = add(out_ref[0, 0, :], contrib)
@@ -140,25 +214,35 @@ def bsr_spmv_padded(op: BsrOperand, x_pad: jax.Array, *, n_block_rows: int,
         num_scalar_prefetch=3,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(
-                (1, bm, bn), lambda t, rows, cols, starts: (t, 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, bn), lambda t, rows, cols, starts: (cols[t], 0, 0)
-            ),
+            pl.BlockSpec((1, bm, bn), lambda t, rows, cols, starts: (t, 0, 0)),
+            pl.BlockSpec((1, 1, bn), lambda t, rows, cols, starts: (cols[t], 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, bm), lambda t, rows, cols, starts: (rows[t], 0, 0)
         ),
     )
 
-    out = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_block_rows, 1, bm), x3d.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows_per_slab, 1, bm), x3d.dtype),
         interpret=_interpret(),
-    )(op.tile_rows, op.tile_cols, op.row_start, op.tiles, x3d)
-    dp = out.reshape(-1)
+    )
+
+    if S == 1:
+        out = call(op.tile_rows[0], op.tile_cols[0], op.row_start[0],
+                   op.tiles[0], x3d)
+        dp = out.reshape(-1)
+    else:
+        def body(_, slab):
+            rows, cols, starts, tiles = slab
+            return None, call(rows, cols, starts, tiles, x3d)
+
+        _, outs = jax.lax.scan(
+            body, None,
+            (op.tile_rows, op.tile_cols, op.row_start, op.tiles),
+        )
+        dp = outs.reshape(-1)
     if as_int:
         dp = dp > 0
     return dp
