@@ -21,6 +21,7 @@ from sparseharness_tpu.formats.sparse import COO
 from sparseharness_tpu.semiring import Semiring
 from sparseharness_tpu.ops import jnp_ops
 from sparseharness_tpu.ops import pallas_bsr
+from sparseharness_tpu.ops import pallas_bsr_ell
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,6 +166,25 @@ register_variant(
         ),
         dp=_dp_dense,
         description="Densified operand (MXU for plus_times); roofline foil",
+    )
+)
+
+def _dp_bsr_ell(op, x, sr, *, n_rows):
+    return pallas_bsr_ell.dp_bsr_ell(op, x, sr, n_rows=n_rows)
+
+
+register_variant(
+    KernelVariant(
+        name="bsr_ell",
+        build=lambda coo, sr, g: pallas_bsr_ell.build_bsr_ell(
+            coo, sr, bm=g.block_m, bn=g.block_n
+        ),
+        dp=_dp_bsr_ell,
+        description=(
+            "Gen-2 Pallas BSR: ELL-of-tiles layout, pre-gathered x blocks, "
+            "static streaming pipeline (no scalar prefetch); the fixed-"
+            "schedule family (splitSize/chunkSize, example/kernel3.json)"
+        ),
     )
 )
 
