@@ -41,7 +41,7 @@ def main() -> int:
 
     # ---- correctness gate (small, every variant) ----------------------
     small = random_coo(1138, 1138, 4054, seed=0)
-    for variant in ("ell", "bsr_pallas"):
+    for variant in ("bsr_ell", "bsr_fused"):
         prob = make_spmv_problem(small, variant=variant, seed=1)
         gold = spmv_gold(small, np.asarray(prob.x0), np.asarray(prob.y),
                          PLUS_TIMES)
@@ -56,19 +56,22 @@ def main() -> int:
             return 1
 
     # ---- throughput (SuiteSparse-scale) -------------------------------
-    n = 1 << 19 if on_tpu else 1 << 14  # 512k rows on TPU, small on CPU
+    # chained two-point timing (inner_iters): per-op = (t_2K − t_K)/K,
+    # cancelling fixed dispatch/RPC overhead — see BenchmarkConfig
+    n = 1 << 19 if on_tpu else 1 << 13  # 512k rows on TPU, small on CPU
     band = 63  # 127 nnz per interior row
     coo = banded_coo(n, band, seed=1)
-    trials = 20 if on_tpu else 3
+    config = BenchmarkConfig(trials=4 if on_tpu else 2,
+                             inner_iters=8 if on_tpu else 2)
 
     best = None
     for variant, geom in (
-        ("ell", Geometry(8, 128)),
-        ("bsr_pallas", Geometry(8, 128)),
+        ("bsr_fused", Geometry(8, 128)),
+        ("bsr_ell", Geometry(8, 128)),
     ):
         prob = make_spmv_problem(coo, variant=variant, geometry=geom, seed=2)
         res = benchmark_spmv(
-            prob, gold=None, config=BenchmarkConfig(trials=trials),
+            prob, gold=None, config=config,
             geometry=geom, matrix_name=f"banded{n}", nnz=coo.nnz,
         )
         if best is None or res.roofline_frac > best[1].roofline_frac:

@@ -52,6 +52,16 @@ class BenchmarkConfig:
     adaptive_timeout: bool = True  # lowerTimeout ratchet (inc/harness.h:92)
     check_every_trial: bool = False  # reference checks every trial; default
     # here is once (device results are deterministic across trials)
+    inner_iters: int = 1
+    # inner_iters > 1 enables *chained* timing: K dependent SpMV
+    # applications are scanned inside one jit and per-op time is the
+    # two-point difference (t_2K − t_K)/K, which cancels fixed dispatch/
+    # RPC overhead. This is the only honest per-kernel clock in
+    # environments where per-dispatch sync is unreliable (remote-tunneled
+    # device runtimes) and dispatch overhead rivals kernel time — the
+    # analogue of the reference's choice to use on-device OpenCL event
+    # clocks instead of host walls (inc/harness.h:183-193). Requires a
+    # square operand (output feeds back as the next x).
 
 
 @dataclasses.dataclass
@@ -77,6 +87,52 @@ def _device_name() -> str:
     return f"{d.device_kind}"
 
 
+def _sync(x) -> None:
+    """Force true completion: a 1-element D2H transfer. block_until_ready
+    alone can return early on remote-tunneled runtimes."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
+
+
+def _chained_fn(problem, k: int):
+    """jit of k dependent SpMV applications (x ← A⊗x fed back)."""
+
+    def f(op, x, y):
+        def body(xc, _):
+            out = spmv(
+                op, xc, y, sr=problem.sr, variant=problem.variant,
+                n_rows=problem.n_rows, alpha=problem.alpha, beta=problem.beta,
+            )
+            return out, None
+
+        xf, _ = jax.lax.scan(body, x, None, length=k)
+        return xf
+
+    return jax.jit(f)
+
+
+def _measure_chained(problem, config: BenchmarkConfig):
+    """Per-op seconds via the two-point method; returns list of per-trial
+    per-op times (seconds)."""
+    k = config.inner_iters
+    f1 = _chained_fn(problem, k)
+    f2 = _chained_fn(problem, 2 * k)
+    op, x, y = problem.operand, problem.x0, problem.y
+    with ScopedTimer("compile_chained", "benchmark_spmv"):
+        _sync(f1(op, x, y))
+        _sync(f2(op, x, y))
+    per_trial = []
+    for _ in range(config.trials):
+        t0 = time.perf_counter()
+        _sync(f1(op, x, y))
+        t_k = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(f2(op, x, y))
+        t_2k = time.perf_counter() - t0
+        per_trial.append(max((t_2k - t_k) / k, 1e-9))
+    return per_trial
+
+
 def benchmark_spmv(
     problem,
     gold: Optional[np.ndarray] = None,
@@ -96,7 +152,7 @@ def benchmark_spmv(
 
     with ScopedTimer("compile", "benchmark_spmv"):
         out = fn(op, x, y)
-        out.block_until_ready()
+        _sync(out)
 
     correctness = (
         check_result(np.asarray(out), gold, delta=config.delta)
@@ -110,32 +166,49 @@ def benchmark_spmv(
     records: List[BenchRecord] = []
     timeout = config.timeout_s
     best = float("inf")
-    for trial in range(config.trials):
-        t0 = time.perf_counter()
-        res = fn(op, x, y)
-        res.block_until_ready()
-        dt = time.perf_counter() - t0
-        report_timing("executeKernel", "benchmark_spmv", dt * 1e3)
-        best = min(best, dt)
-        corr = correctness
-        if config.check_every_trial and gold is not None:
-            corr = check_result(np.asarray(res), gold, delta=config.delta)
-        records.append(
-            BenchRecord(
-                time_ns=dt * 1e9, correctness=corr, kernel=problem.variant,
-                geometry=str(geometry), trial=trial, iteration=0,
-                statistic=Statistic.RAW_RESULT, matrix=matrix_name,
-                experiment_id=config.experiment_id, device=_device_name(),
-                nnz=nnz, roofline_frac=(sol / dt) if dt > 0 else 0.0,
-            ).finalize()
-        )
-        # adaptive timeout ratchet (inc/harness.h:87-98): cap future trials
-        # at 2× the best observed time, never raising the cap
-        if config.adaptive_timeout:
-            timeout = min(timeout, 2.0 * dt)
-        if dt > timeout:
-            log.info("trial %d exceeded timeout %.3fs; stopping", trial, timeout)
-            break
+    square = problem.x0.shape[0] == problem.n_rows
+    if config.inner_iters > 1 and square:
+        for trial, dt in enumerate(_measure_chained(problem, config)):
+            report_timing("executeKernel", "benchmark_spmv", dt * 1e3)
+            best = min(best, dt)
+            records.append(
+                BenchRecord(
+                    time_ns=dt * 1e9, correctness=correctness,
+                    kernel=problem.variant, geometry=str(geometry),
+                    trial=trial, iteration=0,
+                    statistic=Statistic.RAW_RESULT, matrix=matrix_name,
+                    experiment_id=config.experiment_id,
+                    device=_device_name(), nnz=nnz,
+                    roofline_frac=(sol / dt) if dt > 0 else 0.0,
+                ).finalize()
+            )
+    else:
+        for trial in range(config.trials):
+            t0 = time.perf_counter()
+            res = fn(op, x, y)
+            _sync(res)
+            dt = time.perf_counter() - t0
+            report_timing("executeKernel", "benchmark_spmv", dt * 1e3)
+            best = min(best, dt)
+            corr = correctness
+            if config.check_every_trial and gold is not None:
+                corr = check_result(np.asarray(res), gold, delta=config.delta)
+            records.append(
+                BenchRecord(
+                    time_ns=dt * 1e9, correctness=corr, kernel=problem.variant,
+                    geometry=str(geometry), trial=trial, iteration=0,
+                    statistic=Statistic.RAW_RESULT, matrix=matrix_name,
+                    experiment_id=config.experiment_id, device=_device_name(),
+                    nnz=nnz, roofline_frac=(sol / dt) if dt > 0 else 0.0,
+                ).finalize()
+            )
+            # adaptive timeout ratchet (inc/harness.h:87-98): cap future
+            # trials at 2× the best observed time, never raising the cap
+            if config.adaptive_timeout:
+                timeout = min(timeout, 2.0 * dt)
+            if dt > timeout:
+                log.info("trial %d exceeded timeout %.3fs; stopping", trial, timeout)
+                break
 
     med = median_record(records)
     if med is not None:
@@ -169,7 +242,7 @@ def benchmark_fixpoint(
     on-device iteration counter."""
     with ScopedTimer("compile", "benchmark_fixpoint"):
         res = solve_fn()
-        jax.block_until_ready(res)
+        _sync(res)
     iters = int(res.iterations)
     out = np.asarray(res.x)
     correctness = (
@@ -183,7 +256,7 @@ def benchmark_fixpoint(
     for trial in range(config.trials):
         t0 = time.perf_counter()
         res = solve_fn()
-        jax.block_until_ready(res)
+        _sync(res)
         dt = time.perf_counter() - t0
         report_timing("executeRun", "benchmark_fixpoint", dt * 1e3)
         best = min(best, dt)

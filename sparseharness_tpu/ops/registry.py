@@ -19,9 +19,11 @@ import jax.numpy as jnp
 
 from sparseharness_tpu.formats.sparse import COO
 from sparseharness_tpu.semiring import Semiring
+from sparseharness_tpu.ops import dia
 from sparseharness_tpu.ops import jnp_ops
 from sparseharness_tpu.ops import pallas_bsr
 from sparseharness_tpu.ops import pallas_bsr_ell
+from sparseharness_tpu.ops import pallas_bsr_fused
 
 
 @dataclasses.dataclass(frozen=True)
@@ -171,6 +173,43 @@ register_variant(
 
 def _dp_bsr_ell(op, x, sr, *, n_rows):
     return pallas_bsr_ell.dp_bsr_ell(op, x, sr, n_rows=n_rows)
+
+
+def _dp_dia(op, x, sr, *, n_rows):
+    return dia.dp_dia(op, x, sr, n_rows=n_rows)
+
+
+def _dp_bsr_fused(op, x, sr, *, n_rows):
+    return pallas_bsr_fused.dp_bsr_fused(op, x, sr, n_rows=n_rows)
+
+
+register_variant(
+    KernelVariant(
+        name="bsr_fused",
+        build=lambda coo, sr, g: pallas_bsr_fused.build_bsr_fused(
+            coo, sr, bm=g.block_m, bn=g.block_n
+        ),
+        dp=_dp_bsr_fused,
+        description=(
+            "Gen-3 Pallas BSR: x resident in VMEM, in-kernel block gather "
+            "from scalar-prefetched cols; tiles are the only large HBM "
+            "stream (x must fit VMEM)"
+        ),
+    )
+)
+
+
+register_variant(
+    KernelVariant(
+        name="dia",
+        build=lambda coo, sr, g: dia.build_dia(coo, sr),
+        dp=_dp_dia,
+        description=(
+            "Diagonal layout: statically shifted slices of x, zero gathers; "
+            "for banded/stencil structure (degrades past 512 diagonals)"
+        ),
+    )
+)
 
 
 register_variant(
