@@ -121,16 +121,19 @@ def _measure_chained(problem, config: BenchmarkConfig):
     with ScopedTimer("compile_chained", "benchmark_spmv"):
         _sync(f1(op, x, y))
         _sync(f2(op, x, y))
-    per_trial = []
+    t_ks, t_2ks = [], []
     for _ in range(config.trials):
         t0 = time.perf_counter()
         _sync(f1(op, x, y))
-        t_k = time.perf_counter() - t0
+        t_ks.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         _sync(f2(op, x, y))
-        t_2k = time.perf_counter() - t0
-        per_trial.append(max((t_2k - t_k) / k, 1e-9))
-    return per_trial
+        t_2ks.append(time.perf_counter() - t0)
+    # dispatch jitter (~ms) dominates single diffs; pairing order statistics
+    # (sorted tK vs sorted t2K) cancels it far better than raw pairing
+    t_ks.sort()
+    t_2ks.sort()
+    return [max((b - a) / k, 1e-9) for a, b in zip(t_ks, t_2ks)]
 
 
 def benchmark_spmv(
