@@ -58,7 +58,8 @@ def _rows_per_step(k: int, bm: int, bn: int, itemsize: int = 4) -> int:
     return int(max(8, min(512, round_up(max(rg, 1), 8))))
 
 
-def build_bsr_ell(coo: COO, sr: Semiring, bm: int = 8, bn: int = 128) -> BsrEllOperand:
+def build_bsr_ell(coo: COO, sr: Semiring, bm: int = 8, bn: int = 128,
+                  value_dtype: str = "float32") -> BsrEllOperand:
     dtype, _, _, _, zero, as_int = _carrier(sr)
     vals = coo.vals
     if as_int:
@@ -88,8 +89,14 @@ def build_bsr_ell(coo: COO, sr: Semiring, bm: int = 8, bn: int = 128) -> BsrEllO
     strips = np.ascontiguousarray(
         tiles.transpose(0, 2, 1, 3).reshape(r_pad, bm, k * bn)
     )
+    store_dtype = dtype
+    if value_dtype == "bfloat16" and not as_int and np.issubdtype(
+        np.dtype(sr.dtype), np.floating
+    ):
+        store_dtype = jnp.bfloat16
     return BsrEllOperand(
-        tiles=jnp.asarray(strips, dtype=dtype), tile_cols=jnp.asarray(cols)
+        tiles=jnp.asarray(strips, dtype=store_dtype),
+        tile_cols=jnp.asarray(cols),
     )
 
 
@@ -121,8 +128,13 @@ def dp_bsr_ell(op: BsrEllOperand, x: jax.Array, sr: Semiring, *,
         rg //= 2  # r_blocks is rg-padded at build; guard for foreign shapes
     grid = (r_blocks // rg,)
 
+    upcast = op.tiles.dtype == jnp.bfloat16
+
     def kernel(tiles_ref, xt_ref, out_ref):
-        prod = mul(xt_ref[...], tiles_ref[...])  # (rg, bm, K·bn) broadcast
+        t = tiles_ref[...]
+        if upcast:
+            t = t.astype(jnp.float32)  # bf16 storage, f32 semiring compute
+        prod = mul(xt_ref[...], t)               # (rg, bm, K·bn) broadcast
         out_ref[...] = reduce_(prod, axis=-1)    # (rg, bm)
 
     out = pl.pallas_call(

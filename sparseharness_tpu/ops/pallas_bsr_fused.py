@@ -42,12 +42,13 @@ class BsrFusedOperand(NamedTuple):
     cols: jax.Array       # int32 (S, R_s*K) block-col per (row, slot)
 
 
-def build_bsr_fused(coo: COO, sr: Semiring, bm: int = 8, bn: int = 128) -> BsrFusedOperand:
+def build_bsr_fused(coo: COO, sr: Semiring, bm: int = 8, bn: int = 128,
+                    value_dtype: str = "float32") -> BsrFusedOperand:
     if round_up(max(coo.shape[1], 1), bn) * 4 > MAX_X_VMEM_BYTES:
         raise NotImplementedError(
             "bsr_fused requires x to fit in VMEM; use bsr_ell for wide matrices"
         )
-    base = pallas_bsr_ell.build_bsr_ell(coo, sr, bm, bn)
+    base = pallas_bsr_ell.build_bsr_ell(coo, sr, bm, bn, value_dtype)
     r_blocks, _, kbn = base.tiles.shape
     k = base.tile_cols.shape[1]
     bn_ = kbn // k
@@ -86,6 +87,7 @@ def dp_bsr_fused(op: BsrFusedOperand, x: jax.Array, sr: Semiring, *,
     if as_int:
         x2d = x2d.astype(jnp.int32)
     strips = op.strips if not as_int else op.strips.astype(jnp.int32)
+    upcast = strips.dtype == jnp.bfloat16
 
     rg = max(8, min(r_s, _ROWS_PER_STEP_TARGET_BYTES // max(bm * kbn * 4, 1) // 8 * 8))
     while r_s % rg:
@@ -112,7 +114,10 @@ def dp_bsr_fused(op: BsrFusedOperand, x: jax.Array, sr: Semiring, *,
             jax.lax.fori_loop(0, rg // 8, body, 0)
 
         xt = xt_ref[...][:, None, :]                 # (rg, 1, K·bn)
-        out_ref[...] = reduce_(mul(xt, strip_ref[...]), axis=-1)
+        t = strip_ref[...]
+        if upcast:
+            t = t.astype(jnp.float32)  # bf16 storage, f32 semiring compute
+        out_ref[...] = reduce_(mul(xt, t), axis=-1)
 
     call = pl.pallas_call(
         kernel,

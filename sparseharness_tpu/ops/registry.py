@@ -31,15 +31,21 @@ class Geometry:
     """Block-shape sweep point (the runfile Run analogue, inc/run.h:9).
 
     block_m/block_n: tile shape for blocked variants (BSR) and the
-    row/width padding multiples for ELL. Hashable+static so it can key
-    jit caches.
+    row/width padding multiples for ELL. value_dtype: storage dtype for
+    matrix values ("float32" or "bfloat16" — bf16 halves HBM bytes/nnz;
+    kernels upcast to f32 for the semiring ops). Hashable+static so it
+    can key jit caches.
     """
 
     block_m: int = 8
     block_n: int = 128
+    value_dtype: str = "float32"
 
     def __str__(self) -> str:
-        return f"{self.block_m}x{self.block_n}"
+        s = f"{self.block_m}x{self.block_n}"
+        if self.value_dtype != "float32":
+            s += f"@{self.value_dtype}"
+        return s
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,7 +193,7 @@ register_variant(
     KernelVariant(
         name="bsr_fused",
         build=lambda coo, sr, g: pallas_bsr_fused.build_bsr_fused(
-            coo, sr, bm=g.block_m, bn=g.block_n
+            coo, sr, bm=g.block_m, bn=g.block_n, value_dtype=g.value_dtype
         ),
         dp=_dp_bsr_fused,
         description=(
@@ -216,7 +222,7 @@ register_variant(
     KernelVariant(
         name="bsr_ell",
         build=lambda coo, sr, g: pallas_bsr_ell.build_bsr_ell(
-            coo, sr, bm=g.block_m, bn=g.block_n
+            coo, sr, bm=g.block_m, bn=g.block_n, value_dtype=g.value_dtype
         ),
         dp=_dp_bsr_ell,
         description=(

@@ -156,3 +156,25 @@ def test_jit_stability_no_retrace():
 
 def _maxdiff(a, b):
     return np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)).max()
+
+
+@pytest.mark.parametrize("variant", ["bsr_ell", "bsr_fused"])
+def test_bfloat16_value_storage(variant):
+    """bf16 halves bytes/nnz; semiring compute upcasts to f32."""
+    from sparseharness_tpu.formats import banded_coo
+
+    sr = get_semiring("plus_times")
+    coo = banded_coo(600, 4, seed=6)
+    x, y = _xy(sr, coo, seed=6)
+    gold = spmv_gold(coo, x, y, sr)
+    op = build_operand(coo, sr, variant, Geometry(8, 128, "bfloat16"))
+    import jax.numpy as jnp_
+
+    leaves = jax.tree_util.tree_leaves(op)
+    assert any(a.dtype == jnp_.bfloat16 for a in leaves)
+    out = np.asarray(
+        spmv(op, jnp.asarray(x), jnp.asarray(y), sr=sr, variant=variant,
+             n_rows=coo.shape[0])
+    )
+    rel = np.abs(out - gold) / np.maximum(1e-3, np.abs(gold))
+    assert rel.max() < 0.02
