@@ -1,0 +1,182 @@
+"""Gen-4 Pallas kernel for block-banded matrices: affine x windows, no gather.
+
+For matrices whose nonzeros sit within a fixed-width window around an
+affine-in-row position (banded systems, stencils, block tridiagonals — and
+the bench's banded workload), the x-block needed by a group of block-rows
+is a *statically predictable* slice: group g (= bn/bm consecutive
+block-rows = one x-block worth of rows) reads x blocks
+[base(g), base(g)+K) with base(g) = clamp(g + c0). The kernel therefore
+does one dynamic-but-affine sublane slice of the VMEM-resident x per group
+— zero per-row gathers, zero scalar prefetch — and the strip stream is the
+only HBM traffic. This is the pure-streaming end of the variant family
+(the DIA idea lifted to BSR block granularity).
+
+Build detects the structure (window offset c0 and width K from the data)
+and raises NotImplementedError when the matrix doesn't fit (K would exceed
+MAX_WINDOW_BLOCKS), so sweeps fall back to bsr_fused/bsr_ell.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sparseharness_tpu.formats.sparse import COO, round_up
+from sparseharness_tpu.semiring import Semiring
+from sparseharness_tpu.ops.pallas_bsr import _carrier, _interpret
+
+MAX_WINDOW_BLOCKS = 8
+_TARGET_STEP_BYTES = 1024 * 1024
+
+
+@jax.tree_util.register_pytree_node_class
+class BsrBandOperand:
+    """strips (R_blocks, bm, K·bn): slot k ↔ x block base(g)+k. The static
+    window parameters ride as pytree aux data so they key jit caches."""
+
+    def __init__(self, strips: jax.Array, c0: int, k_win: int, n_cols: int):
+        self.strips = strips
+        self.c0 = int(c0)
+        self.k_win = int(k_win)
+        self.n_cols = int(n_cols)
+
+    def tree_flatten(self):
+        return (self.strips,), (self.c0, self.k_win, self.n_cols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def build_bsr_band(coo: COO, sr: Semiring, bm: int = 8, bn: int = 128,
+                   value_dtype: str = "float32") -> BsrBandOperand:
+    if bn % bm != 0:
+        raise NotImplementedError("bsr_band requires bn % bm == 0")
+    if round_up(max(coo.shape[1], 1), bn) * 4 > 6 * 1024 * 1024:
+        raise NotImplementedError(
+            "bsr_band requires x to fit in VMEM; use bsr_ell for wide matrices"
+        )
+    gs = bn // bm  # block-rows per x-block-aligned group
+    n, c = coo.shape
+    dtype, _, _, _, zero, as_int = _carrier(sr)
+    c_blocks = round_up(max(c, 1), bn) // bn
+    n_block_rows = round_up(max(n, 1), bm) // bm
+    n_groups = round_up(n_block_rows, gs) // gs
+
+    g_of = (coo.rows // bm) // gs
+    bc = coo.cols // bn
+    # per-group column-block span
+    min_bc = np.full(n_groups, np.iinfo(np.int32).max, np.int64)
+    max_bc = np.full(n_groups, -1, np.int64)
+    np.minimum.at(min_bc, g_of, bc)
+    np.maximum.at(max_bc, g_of, bc)
+    occupied = max_bc >= 0
+    if not occupied.any():
+        raise NotImplementedError("empty matrix; use another variant")
+    # window offset: make base(g) = clamp(g + c0) cover [min_bc, max_bc]
+    c0 = int(np.min((min_bc - np.arange(n_groups))[occupied]))
+    base = np.clip(np.arange(n_groups) + c0, 0, None)
+    k_win = int(np.max((max_bc - base + 1)[occupied]))
+    if k_win > MAX_WINDOW_BLOCKS:
+        raise NotImplementedError(
+            f"window of {k_win} x-blocks exceeds {MAX_WINDOW_BLOCKS}: "
+            "matrix is not banded enough for bsr_band"
+        )
+    base = np.clip(base, 0, max(c_blocks - k_win, 0))
+    if np.any(bc < base[g_of]) or np.any(bc >= base[g_of] + k_win):
+        # clamping at the right edge pushed some entries out of window
+        k_win += int(np.max(bc - (base[g_of] + k_win - 1)).clip(0))
+        if k_win > MAX_WINDOW_BLOCKS:
+            raise NotImplementedError("edge clamping exceeds window limit")
+        base = np.clip(np.arange(n_groups) + c0, 0, max(c_blocks - k_win, 0))
+        if np.any(bc < base[g_of]) or np.any(bc >= base[g_of] + k_win):
+            raise NotImplementedError("window structure not affine enough")
+
+    r_rows = n_groups * gs  # padded block rows (gs multiple)
+    strips = np.full((r_rows, bm, k_win * bn), zero, dtype=np.dtype(sr.dtype) if not as_int else np.int32)
+    vals = coo.vals if not as_int else (coo.vals != 0).astype(np.int32)
+    br = coo.rows // bm
+    slot = bc - base[g_of]
+    lane = slot * bn + coo.cols % bn
+    strips[br, coo.rows % bm, lane] = vals.astype(strips.dtype)
+
+    store_dtype = dtype
+    if value_dtype == "bfloat16" and not as_int and np.issubdtype(
+        np.dtype(sr.dtype), np.floating
+    ):
+        store_dtype = jnp.bfloat16
+    return BsrBandOperand(
+        strips=jnp.asarray(strips, dtype=store_dtype),
+        c0=c0, k_win=k_win, n_cols=c,
+    )
+
+
+def dp_bsr_band(op: BsrBandOperand, x: jax.Array, sr: Semiring, *,
+                n_rows: int) -> jax.Array:
+    r_rows, bm, kbn = op.strips.shape
+    k = op.k_win
+    bn = kbn // k
+    gs = bn // bm
+    dtype, add, mul, reduce_, zero, as_int = _carrier(sr)
+    c_pad = round_up(max(x.shape[0], 1), bn)
+    c_blocks = c_pad // bn
+    x_pad = jnp.pad(
+        x.astype(sr.dtype), (0, c_pad - x.shape[0]),
+        constant_values=jnp.asarray(sr.zero, sr.dtype),
+    )
+    x2d = x_pad.reshape(c_blocks, bn)
+    if as_int:
+        x2d = x2d.astype(jnp.int32)
+    strips = op.strips
+    upcast = strips.dtype == jnp.bfloat16
+
+    # groups per grid step, sized for ~1MB strip traffic per step
+    bytes_per_group = gs * bm * kbn * strips.dtype.itemsize
+    gps = max(1, min(_TARGET_STEP_BYTES // max(bytes_per_group, 1),
+                     r_rows // gs))
+    n_groups = r_rows // gs
+    while n_groups % gps:
+        gps -= 1
+    rg = gps * gs
+    grid = (r_rows // rg,)
+    c0 = op.c0
+    max_base = max(c_blocks - k, 0)
+
+    def kernel(strip_ref, x_ref, out_ref):
+        i = pl.program_id(0)
+        for g in range(gps):  # static groups within the step
+            gg = i * gps + g
+            w0 = jnp.clip(gg + c0, 0, max_base)
+            xwin = x_ref[pl.ds(w0, k), :]          # (k, bn) affine slice
+            st = strip_ref[g * gs:(g + 1) * gs]    # (gs, bm, k*bn)
+            if upcast:
+                st = st.astype(jnp.float32)
+            acc = None
+            for kk in range(k):  # static slots
+                part = mul(
+                    xwin[kk][None, None, :], st[:, :, kk * bn:(kk + 1) * bn]
+                )
+                acc = part if acc is None else add(acc, part)
+            out_ref[g * gs:(g + 1) * gs] = reduce_(acc, axis=-1)  # (gs, bm)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rg, bm, kbn), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole x2d resident
+        ],
+        out_specs=pl.BlockSpec((rg, bm), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r_rows, bm), x2d.dtype),
+        interpret=_interpret(),
+    )(strips, x2d)
+    dp = out.reshape(-1)
+    if as_int:
+        dp = dp > 0
+    return dp

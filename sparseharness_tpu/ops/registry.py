@@ -24,6 +24,7 @@ from sparseharness_tpu.ops import jnp_ops
 from sparseharness_tpu.ops import pallas_bsr
 from sparseharness_tpu.ops import pallas_bsr_ell
 from sparseharness_tpu.ops import pallas_bsr_fused
+from sparseharness_tpu.ops import pallas_bsr_band
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,6 +188,26 @@ def _dp_dia(op, x, sr, *, n_rows):
 
 def _dp_bsr_fused(op, x, sr, *, n_rows):
     return pallas_bsr_fused.dp_bsr_fused(op, x, sr, n_rows=n_rows)
+
+
+def _dp_bsr_band(op, x, sr, *, n_rows):
+    return pallas_bsr_band.dp_bsr_band(op, x, sr, n_rows=n_rows)
+
+
+register_variant(
+    KernelVariant(
+        name="bsr_band",
+        build=lambda coo, sr, g: pallas_bsr_band.build_bsr_band(
+            coo, sr, bm=g.block_m, bn=g.block_n, value_dtype=g.value_dtype
+        ),
+        dp=_dp_bsr_band,
+        description=(
+            "Gen-4 Pallas block-banded kernel: affine x windows (no gather, "
+            "no scalar prefetch) - pure streaming for banded/stencil "
+            "structure; falls back if the window is not affine"
+        ),
+    )
+)
 
 
 register_variant(

@@ -1,0 +1,40 @@
+"""Semiring SpMM: Y = A ⊗ X for a block of dense right-hand sides.
+
+The north star names "Pallas SpMV/SpMM kernels" (BASELINE.json). v1 maps
+the SpMV kernel over X's columns with ``lax.map`` — correct for every
+semiring/variant, with A re-streamed per column (the honest cost model:
+sparse-A SpMM is A-traffic × m/tile_m unless A fits VMEM). A
+tile-native SpMM kernel (X col-tiles resident in VMEM, MXU dots per strip)
+is the planned round-2 upgrade; this module is the stable API for it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sparseharness_tpu.ops import registry
+from sparseharness_tpu.semiring import Semiring
+
+
+def spmm(
+    operand,
+    x_block: jax.Array,  # (n_cols, m)
+    *,
+    sr: Semiring,
+    variant: str = "bsr_fused",
+    n_rows: int,
+    alpha=None,
+    beta=None,
+) -> jax.Array:
+    """Y[:, j] = (α ⊗ (⊕ A ⊗ X[:, j])) for each column j. Returns (n_rows, m)."""
+
+    def one(col):
+        return registry.spmv(
+            operand, col, None, sr=sr, variant=variant, n_rows=n_rows,
+            alpha=alpha, beta=beta,
+        )
+
+    cols = jnp.moveaxis(x_block, 1, 0)  # (m, n_cols)
+    out = jax.lax.map(one, cols)        # (m, n_rows)
+    return jnp.moveaxis(out, 0, 1)
