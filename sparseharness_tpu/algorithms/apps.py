@@ -122,7 +122,9 @@ def sssp(
     n = coo.shape[0]
     x0 = jnp.full((n,), FLT_MAX, jnp.float32).at[root].set(0.0)
     conv = exact_converged if delta <= 0.0 else delta_converged(delta)
-    limit = max_iter if max_iter is not None else n + 1
+    # default cap = n sweeps, matching gold.sssp_gold so non-converging
+    # inputs (negative cycles) still compare bit-for-bit
+    limit = max_iter if max_iter is not None else n
 
     def step(x):
         dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)

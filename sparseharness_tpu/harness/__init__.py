@@ -23,3 +23,8 @@ from sparseharness_tpu.harness.sweep import (  # noqa: F401
     run_sweep,
     best_per_matrix,
 )
+from sparseharness_tpu.harness.scaling import (  # noqa: F401
+    ScalePoint,
+    weak_scaling_spmv,
+    report as scaling_report,
+)

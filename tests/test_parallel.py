@@ -117,3 +117,15 @@ def test_subset_mesh(graph):
     mesh2 = make_mesh(2)
     res = sharded_sssp(graph, root=0, mesh=mesh2)
     np.testing.assert_allclose(np.asarray(res.x), sssp_gold(graph, 0), rtol=1e-5)
+
+
+def test_weak_scaling_mechanics():
+    """Efficiency numbers are meaningless on a shared-host virtual mesh;
+    this validates the machinery (build, shard, chained timing, report)."""
+    from sparseharness_tpu.harness.scaling import weak_scaling_spmv, report
+
+    pts = weak_scaling_spmv(base_rows=512, device_counts=[1, 2], inner_iters=1)
+    assert len(pts) == 2
+    assert pts[0].efficiency == 1.0
+    assert pts[1].rows == 2 * pts[0].rows
+    assert "efficiency" in report(pts)
