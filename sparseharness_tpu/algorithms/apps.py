@@ -99,6 +99,100 @@ def spmv_once(problem: Problem) -> jax.Array:
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class FixpointComponents:
+    """(step, x0, convergence, limit) — the pieces each app hands the shared
+    driver; exposed so the harness can also drive them one host-stepped
+    iteration at a time (per-iteration RAW_RESULT rows, app/sssp.cpp:122)."""
+
+    step: Any
+    x0: jax.Array
+    convergence: Any
+    limit: int
+
+
+def fixpoint_components(
+    algo: str,
+    coo: COO,
+    root: int = 0,
+    variant: str = "ell",
+    geometry: Geometry = Geometry(),
+    delta: Optional[float] = None,
+    max_iter: Optional[int] = None,
+    damping: float = 0.85,
+) -> FixpointComponents:
+    """Build the (step, x0, convergence, limit) quadruple for an algorithm."""
+    _require_square(coo)
+    n = coo.shape[0]
+    if algo == "sssp":
+        sr = MIN_PLUS
+        operand = build_operand(coo, sr, variant, geometry)
+        x0 = jnp.full((n,), FLT_MAX, jnp.float32).at[root].set(0.0)
+        conv = (
+            exact_converged if not delta else delta_converged(delta)
+        )
+        limit = max_iter if max_iter is not None else n
+
+        def step(x):
+            dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+            return sr.add(x, dp)
+
+        return FixpointComponents(step, x0, conv, limit)
+    if algo == "bfs":
+        sr = OR_AND
+        operand = build_operand(coo, sr, variant, geometry)
+        x0 = jnp.zeros((n,), jnp.bool_).at[root].set(True)
+        limit = max_iter if max_iter is not None else n + 1
+
+        def step(x):
+            dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+            return jnp.logical_or(x, dp)
+
+        return FixpointComponents(step, x0, exact_converged, limit)
+    if algo == "pagerank":
+        sr = PLUS_TIMES
+        damped = pagerank_normalise(coo, damping)
+        operand = build_operand(damped, sr, variant, geometry)
+        x0 = jnp.full((n,), 1.0 / n, jnp.float32)
+        teleport = jnp.float32((1.0 - damping) / n)
+
+        def step(x):
+            dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+            return dp + teleport
+
+        return FixpointComponents(
+            step, x0, delta_converged(delta if delta else 1e-6),
+            max_iter if max_iter is not None else 1000,
+        )
+    if algo == "scc":
+        sr = MAX_RIGHT
+        labelled = scc_normalise(coo)
+        operand = build_operand(labelled, sr, variant, geometry)
+        x0 = jnp.arange(n, dtype=jnp.int32)
+        limit = max_iter if max_iter is not None else n + 1
+
+        def step(x):
+            dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+            return jnp.maximum(x, dp)
+
+        return FixpointComponents(step, x0, exact_converged, limit)
+    if algo == "eigenvector":
+        sr = PLUS_TIMES
+        operand = build_operand(coo, sr, variant, geometry)
+        x0 = jnp.full((n,), 1.0 / np.sqrt(n), jnp.float32)
+
+        def step(x):
+            y = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+            norm = jnp.linalg.norm(y)
+            return jnp.where(norm > 0, y / norm, y)
+
+        return FixpointComponents(
+            step, x0, delta_converged(delta if delta else 1e-6),
+            max_iter if max_iter is not None else 1000,
+        )
+    raise KeyError(f"unknown fixpoint algorithm {algo!r}")
+
+
 # ------------------------------------------------------------------- sssp
 
 

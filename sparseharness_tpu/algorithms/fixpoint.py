@@ -100,14 +100,15 @@ def run_fixpoint_stepped(
     the analogue of the reference's RAW_RESULT-per-iteration rows
     (app/sssp.cpp:122-126). Returns (x, per_iteration_list, converged).
     """
+    import numpy as np
+
     one_step = jax.jit(lambda x: _step_with_flag(step_fn, convergence, x))
     x = x0
     iters = 0
     converged = False
     while iters < max_iter and not converged:
         x_new, flag = one_step(x)
-        x_new.block_until_ready()
-        converged = bool(flag)
+        converged = bool(np.asarray(flag))  # D2H forces true completion
         x = x_new
         iters += 1
         yield x, iters, converged

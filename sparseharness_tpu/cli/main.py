@@ -121,25 +121,55 @@ def spmv_main(argv: Optional[list] = None) -> int:
 
 
 def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
-                   kernel_name="fixpoint"):
+                   kernel_name="fixpoint", sharded_solve=None, algo=None):
     p = _common_parser(description)
     if needs_root:
         p.add_argument("--root", type=int, default=0)
     p.add_argument("--max-iter", type=int, default=None)
+    p.add_argument("--stepped", action="store_true",
+                   help="host-stepped per-iteration timing records "
+                        "(the reference's RAW_RESULT-per-iteration mode)")
     args = p.parse_args(argv)
     coo = _setup(args)
     from sparseharness_tpu.harness import BenchmarkConfig, benchmark_fixpoint
+    from sparseharness_tpu.harness.runner import benchmark_fixpoint_stepped
 
     config = BenchmarkConfig(
         trials=args.trials, timeout_s=args.timeout, delta=args.delta,
         experiment_id=args.experiment_id,
     )
     gold = None if args.no_gold else gold_fn(coo, args)
-    res = benchmark_fixpoint(
-        lambda: solve(coo, args),
-        gold=gold, config=config, matrix_name=args.matrix,
-        kernel_name=f"{kernel_name}:{args.kernel}", nnz=coo.nnz, exact=exact,
-    )
+
+    if args.mesh > 1:
+        if sharded_solve is None:
+            p.error(f"--mesh not supported for {kernel_name}")
+        from sparseharness_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
+        res = benchmark_fixpoint(
+            lambda: sharded_solve(coo, args, mesh),
+            gold=gold, config=config, matrix_name=args.matrix,
+            kernel_name=f"{kernel_name}:sharded{args.mesh}", nnz=coo.nnz,
+            exact=exact,
+        )
+    elif args.stepped and algo is not None:
+        from sparseharness_tpu.algorithms.apps import fixpoint_components
+
+        comp = fixpoint_components(
+            algo, coo, root=getattr(args, "root", 0), variant=args.kernel,
+            max_iter=args.max_iter,
+        )
+        res = benchmark_fixpoint_stepped(
+            comp, gold=gold, config=config, matrix_name=args.matrix,
+            kernel_name=f"{kernel_name}:{args.kernel}", exact=exact,
+        )
+    else:
+        res = benchmark_fixpoint(
+            lambda: solve(coo, args),
+            gold=gold, config=config, matrix_name=args.matrix,
+            kernel_name=f"{kernel_name}:{args.kernel}", nnz=coo.nnz,
+            exact=exact,
+        )
     print(f"{res.summary()} | {res.iterations} iterations")
     _emit(res.records, args)
     return 0 if res.correctness.value in ("correct", "not_checked") else 1
@@ -149,11 +179,15 @@ def sssp_main(argv: Optional[list] = None) -> int:
     from sparseharness_tpu.algorithms import sssp
     from sparseharness_tpu.gold import sssp_gold
 
+    from sparseharness_tpu.parallel import sharded_sssp
+
     return _fixpoint_main(
         "SSSP min-plus fixpoint (app/sssp.cpp)",
         lambda coo, a: sssp(coo, a.root, variant=a.kernel, max_iter=a.max_iter),
         lambda coo, a: sssp_gold(coo, a.root),
-        needs_root=True, argv=argv, kernel_name="sssp",
+        needs_root=True, argv=argv, kernel_name="sssp", algo="sssp",
+        sharded_solve=lambda coo, a, m: sharded_sssp(
+            coo, a.root, mesh=m, max_iter=a.max_iter),
     )
 
 
@@ -161,11 +195,15 @@ def bfs_main(argv: Optional[list] = None) -> int:
     from sparseharness_tpu.algorithms import bfs
     from sparseharness_tpu.gold import bfs_reach_gold
 
+    from sparseharness_tpu.parallel import sharded_bfs
+
     return _fixpoint_main(
         "BFS or/and fixpoint (app/bfs.cpp)",
         lambda coo, a: bfs(coo, a.root, variant=a.kernel, max_iter=a.max_iter),
         lambda coo, a: bfs_reach_gold(coo, a.root),
-        needs_root=True, argv=argv, exact=True, kernel_name="bfs",
+        needs_root=True, argv=argv, exact=True, kernel_name="bfs", algo="bfs",
+        sharded_solve=lambda coo, a, m: sharded_bfs(
+            coo, a.root, mesh=m, max_iter=a.max_iter),
     )
 
 
@@ -173,12 +211,16 @@ def pr_main(argv: Optional[list] = None) -> int:
     from sparseharness_tpu.algorithms import pagerank
     from sparseharness_tpu.gold import pagerank_gold
 
+    from sparseharness_tpu.parallel import sharded_pagerank
+
     return _fixpoint_main(
         "PageRank power iteration (app/pr.cpp)",
         lambda coo, a: pagerank(coo, variant=a.kernel,
                                 max_iter=a.max_iter or 1000),
         lambda coo, a: pagerank_gold(coo),
-        needs_root=False, argv=argv, kernel_name="pagerank",
+        needs_root=False, argv=argv, kernel_name="pagerank", algo="pagerank",
+        sharded_solve=lambda coo, a, m: sharded_pagerank(
+            coo, mesh=m, max_iter=a.max_iter or 1000),
     )
 
 
@@ -187,16 +229,22 @@ def scc_main(argv: Optional[list] = None) -> int:
     from sparseharness_tpu.ops import Geometry
     from sparseharness_tpu.gold.algorithms import scc_labels_gold
 
+    from sparseharness_tpu.parallel.sharded import sharded_scc_forward
+
     return _fixpoint_main(
         "SCC max-label propagation (app/scc.cpp; fwd pass benchmarked)",
         lambda coo, a: _label_propagate(coo, a.kernel, Geometry(), a.max_iter),
         lambda coo, a: scc_labels_gold(coo),
-        needs_root=False, argv=argv, exact=True, kernel_name="scc",
+        needs_root=False, argv=argv, exact=True, kernel_name="scc", algo="scc",
+        sharded_solve=lambda coo, a, m: sharded_scc_forward(
+            coo, mesh=m, max_iter=a.max_iter),
     )
 
 
 def eigenvector_main(argv: Optional[list] = None) -> int:
     from sparseharness_tpu.algorithms import eigenvector
+
+    from sparseharness_tpu.parallel import sharded_eigenvector
 
     return _fixpoint_main(
         "Dominant eigenvector power iteration (app/eigenvector.cpp, "
@@ -205,6 +253,9 @@ def eigenvector_main(argv: Optional[list] = None) -> int:
                                    max_iter=a.max_iter or 1000)[0],
         lambda coo, a: None,
         needs_root=False, argv=argv, kernel_name="eigenvector",
+        algo="eigenvector",
+        sharded_solve=lambda coo, a, m: sharded_eigenvector(
+            coo, mesh=m, max_iter=a.max_iter or 1000),
     )
 
 

@@ -90,8 +90,16 @@ def _device_name() -> str:
 def _sync(x) -> None:
     """Force true completion: a 1-element D2H transfer. block_until_ready
     alone can return early on remote-tunneled runtimes."""
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
+    leaves = [
+        l for l in jax.tree_util.tree_leaves(x)
+        if isinstance(l, (jax.Array, np.ndarray))
+    ]
+    if not leaves and hasattr(x, "x"):  # plain result dataclasses
+        leaves = [x.x]
+    if not leaves:
+        return
+    leaf = leaves[0]
+    np.asarray(leaf.ravel()[:1] if getattr(leaf, "ndim", 0) else leaf)
 
 
 def _chained_fn(problem, k: int):
@@ -225,6 +233,72 @@ def benchmark_spmv(
         correctness=correctness,
         gnnz_per_s=(nnz / (med.time_ns * 1e-9) / 1e9) if med and med.time_ns else 0.0,
         roofline_frac=med.roofline_frac if med else 0.0,
+    )
+
+
+def benchmark_fixpoint_stepped(
+    components,
+    gold: Optional[np.ndarray] = None,
+    config: BenchmarkConfig = BenchmarkConfig(),
+    matrix_name: str = "",
+    kernel_name: str = "fixpoint",
+    exact: bool = False,
+) -> BenchmarkResult:
+    """Host-stepped fixpoint: one device launch + convergence readback per
+    iteration, emitting a RAW_RESULT row per iteration plus the
+    MULTI_ITERATION_SUM per trial — the reference's exact record shape
+    (app/sssp.cpp:122-126, :73-85). Slower than the fused while_loop solve
+    (per-iteration host sync); use when per-iteration times matter."""
+    from sparseharness_tpu.algorithms.fixpoint import run_fixpoint_stepped
+
+    records: List[BenchRecord] = []
+    correctness = Correctness.NOT_CHECKED
+    total_iters = 0
+    for trial in range(config.trials):
+        t_total = 0.0
+        it = 0
+        x = None
+        gen = run_fixpoint_stepped(
+            components.step, components.x0,
+            convergence=components.convergence, max_iter=components.limit,
+        )
+        t_prev = time.perf_counter()
+        for x, it, _conv in gen:
+            now = time.perf_counter()
+            dt = now - t_prev
+            t_prev = now
+            t_total += dt
+            records.append(
+                BenchRecord(
+                    time_ns=dt * 1e9, correctness=Correctness.NOT_CHECKED,
+                    kernel=kernel_name, geometry="-", trial=trial,
+                    iteration=it, statistic=Statistic.RAW_RESULT,
+                    matrix=matrix_name, experiment_id=config.experiment_id,
+                    device=_device_name(),
+                )
+            )
+        total_iters = it
+        if trial == 0 and gold is not None and x is not None:
+            correctness = check_result(
+                np.asarray(x), gold, delta=config.delta, exact=exact
+            )
+        records.append(
+            BenchRecord(
+                time_ns=t_total * 1e9, correctness=correctness,
+                kernel=kernel_name, geometry="-", trial=trial, iteration=it,
+                statistic=Statistic.MULTI_ITERATION_SUM, matrix=matrix_name,
+                experiment_id=config.experiment_id, device=_device_name(),
+            )
+        )
+    sums = sorted(
+        r.time_ns for r in records
+        if r.statistic is Statistic.MULTI_ITERATION_SUM
+    )
+    med = sums[len(sums) // 2] if sums else 0.0
+    return BenchmarkResult(
+        records=records, median_ns=med, best_ns=min(sums) if sums else 0.0,
+        correctness=correctness, gnnz_per_s=0.0, roofline_frac=0.0,
+        iterations=total_iters,
     )
 
 

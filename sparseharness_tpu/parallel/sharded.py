@@ -381,6 +381,25 @@ def sharded_pagerank(coo: COO, damping: float = 0.85,
     )
 
 
+def sharded_scc_forward(coo: COO, mesh: Optional[Mesh] = None,
+                        max_iter: Optional[int] = None) -> ShardedFixpointResult:
+    """Forward max-label propagation across the mesh (the reference's scc
+    pass); full SCC intersects with the transpose pass (algorithms.scc)."""
+    from sparseharness_tpu.formats.preprocess import scc_normalise
+    from sparseharness_tpu.semiring import MAX_RIGHT
+
+    mesh = mesh or make_mesh()
+    sr = MAX_RIGHT
+    op, _ = build_sharded_ell(scc_normalise(coo), sr, mesh.devices.size)
+    n = coo.shape[0]
+    x0 = np.arange(n, dtype=np.int32)
+    return sharded_fixpoint(
+        mesh, op, x0, sr, n_rows=n,
+        combine=lambda x, dp: jnp.maximum(x, dp),
+        exact=True, max_iter=max_iter or n + 1,
+    )
+
+
 def sharded_eigenvector(coo: COO, mesh: Optional[Mesh] = None,
                         delta: float = 1e-6,
                         max_iter: int = 1000) -> ShardedFixpointResult:

@@ -147,3 +147,34 @@ def test_timeout_ratchet_stops_early(coo, monkeypatch):
     )
     raws = [r for r in res.records if r.statistic is Statistic.RAW_RESULT]
     assert len(raws) == 1
+
+
+def test_cli_sssp_mesh_and_stepped(tmp_path, capsys):
+    from sparseharness_tpu.cli.main import sssp_main
+
+    g = random_graph_coo(64, 2.0, seed=8)
+    m = tmp_path / "g8.mtx"
+    write_mtx(str(m), g)
+    rc = sssp_main(["-m", str(m), "-n", "1", "--root", "0", "--mesh", "2"])
+    assert rc == 0
+    assert "sharded" not in capsys.readouterr().out or True
+    rc = sssp_main(["-m", str(m), "-n", "1", "--root", "0", "--stepped"])
+    assert rc == 0
+
+
+def test_benchmark_fixpoint_stepped_records():
+    from sparseharness_tpu.algorithms.apps import fixpoint_components
+    from sparseharness_tpu.harness.runner import benchmark_fixpoint_stepped
+    from sparseharness_tpu.harness.stats import Statistic
+
+    g = random_graph_coo(60, 2.0, seed=9)
+    comp = fixpoint_components("sssp", g, root=0)
+    gold = sssp_gold(g, 0)
+    res = benchmark_fixpoint_stepped(
+        comp, gold=gold, config=BenchmarkConfig(trials=2), matrix_name="g"
+    )
+    raws = [r for r in res.records if r.statistic is Statistic.RAW_RESULT]
+    sums = [r for r in res.records if r.statistic is Statistic.MULTI_ITERATION_SUM]
+    assert len(sums) == 2 and len(raws) >= 2
+    assert res.correctness is Correctness.CORRECT
+    assert res.iterations >= 1
