@@ -42,6 +42,12 @@ def _require_square(coo: COO) -> None:
         raise ValueError(f"matrix must be square, got {coo.shape}")
 
 
+def _require_root(coo: COO, root: int) -> None:
+    # negative roots would silently wrap via Python indexing
+    if not 0 <= root < coo.shape[0]:
+        raise ValueError(f"root {root} out of range [0, {coo.shape[0]})")
+
+
 @dataclasses.dataclass(frozen=True)
 class Problem:
     """A prepared (operand, config) pair — the ArgContainer analogue
@@ -123,6 +129,8 @@ def fixpoint_components(
 ) -> FixpointComponents:
     """Build the (step, x0, convergence, limit) quadruple for an algorithm."""
     _require_square(coo)
+    if algo in ("sssp", "bfs"):
+        _require_root(coo, root)
     n = coo.shape[0]
     if algo == "sssp":
         sr = MIN_PLUS
@@ -211,6 +219,7 @@ def sssp(
     fires spuriously since < is strict only for 0 when Δ==0 ⇒ uses ≤ via
     'no element changed'); pass delta>0 for early approximate stopping."""
     _require_square(coo)
+    _require_root(coo, root)
     sr = MIN_PLUS
     operand = build_operand(coo, sr, variant, geometry)
     n = coo.shape[0]
@@ -244,6 +253,7 @@ def bfs(
     Returns reachability in .x and int32 levels in .aux (-1 unreachable,
     0 root) — the levels the reference's int-typed 'bool' kernels imply."""
     _require_square(coo)
+    _require_root(coo, root)
     sr = OR_AND
     operand = build_operand(coo, sr, variant, geometry)
     n = coo.shape[0]

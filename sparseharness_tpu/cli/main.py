@@ -79,7 +79,7 @@ def spmv_main(argv: Optional[list] = None) -> int:
     args = _common_parser("semiring SpMV benchmark (app/spmv.cpp)").parse_args(argv)
     coo = _setup(args)
     from sparseharness_tpu.algorithms import make_spmv_problem
-    from sparseharness_tpu.gold import spmv_gold
+    from sparseharness_tpu.gold import spmv_gold, spmv_abs_bound
     from sparseharness_tpu.harness import (
         BenchmarkConfig, benchmark_spmv, default_sweep, load_runfile,
         run_sweep, best_per_matrix,
@@ -109,11 +109,13 @@ def spmv_main(argv: Optional[list] = None) -> int:
         return 0
 
     prob = make_spmv_problem(coo, sr=PLUS_TIMES, variant=args.kernel)
-    gold = None
+    gold = scale = None
     if not args.no_gold:
         gold = spmv_gold(coo, np.asarray(prob.x0), np.asarray(prob.y), PLUS_TIMES)
+        scale = spmv_abs_bound(coo, np.asarray(prob.x0))
     res = benchmark_spmv(
-        prob, gold=gold, config=config, matrix_name=args.matrix, nnz=coo.nnz
+        prob, gold=gold, config=config, matrix_name=args.matrix, nnz=coo.nnz,
+        gold_scale=scale,
     )
     print(res.summary())
     _emit(res.records, args)

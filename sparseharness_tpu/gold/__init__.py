@@ -1,4 +1,4 @@
-from sparseharness_tpu.gold.spmv import spmv_gold, spmv_gold_reference_quirk  # noqa: F401
+from sparseharness_tpu.gold.spmv import spmv_gold, spmv_gold_reference_quirk, spmv_abs_bound  # noqa: F401
 from sparseharness_tpu.gold.check import (  # noqa: F401
     Correctness,
     check_result,

@@ -28,7 +28,12 @@ def check_result(
     gold: Optional[np.ndarray],
     delta: float = 1e-4,
     exact: bool = False,
+    scale: Optional[np.ndarray] = None,
 ) -> Correctness:
+    """`scale`, when given, is the per-element backward-error magnitude
+    (e.g. gold.spmv_abs_bound: Σ|contrib| per row) — the numerically sound
+    comparison scale for float reductions whose terms cancel; without it
+    the tolerance is relative-to-gold-or-1."""
     if gold is None or (hasattr(gold, "size") and gold.size == 0):
         return Correctness.NOT_CHECKED
     result = np.asarray(result)
@@ -40,8 +45,11 @@ def check_result(
     else:
         a = result.astype(np.float64)
         b = gold.astype(np.float64)
+        ref = np.maximum(1.0, np.abs(b))
+        if scale is not None:
+            ref = np.maximum(ref, np.asarray(scale, np.float64))
         # relative-or-absolute tolerance; treat matching non-finites as equal
-        finite_close = np.abs(a - b) <= delta * np.maximum(1.0, np.abs(b))
+        finite_close = np.abs(a - b) <= delta * ref
         nonfinite_eq = ~np.isfinite(b) & (a == b)
         mismatch = ~(finite_close | nonfinite_eq)
     n_bad = int(np.count_nonzero(mismatch))

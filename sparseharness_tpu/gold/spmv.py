@@ -90,6 +90,20 @@ def _eq(a, b) -> bool:
     return bool(np.asarray(a) == np.asarray(b))
 
 
+def spmv_abs_bound(coo: COO, x: np.ndarray) -> np.ndarray:
+    """Per-row Σ_j |A[i,j]·x[j]| — the backward-error scale for float
+    SpMV. Reassociation of an f32 sum can perturb the result by
+    O(eps·Σ|contrib|); rows with heavy cancellation (e.g. admittance
+    matrices × a constant vector, where row sums are ≈0) are only
+    comparable against this scale, not against |result|."""
+    bound = np.zeros(coo.shape[0], dtype=np.float64)
+    np.add.at(
+        bound, coo.rows,
+        np.abs(coo.vals.astype(np.float64) * np.asarray(x, np.float64)[coo.cols]),
+    )
+    return bound
+
+
 def spmv_gold_reference_quirk(
     coo: COO, x: np.ndarray, y: np.ndarray, alpha: float, beta: float, zero: float
 ) -> np.ndarray:

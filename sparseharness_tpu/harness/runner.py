@@ -151,6 +151,7 @@ def benchmark_spmv(
     geometry: Geometry = Geometry(),
     matrix_name: str = "",
     nnz: int = 0,
+    gold_scale: Optional[np.ndarray] = None,
 ) -> BenchmarkResult:
     """Benchmark a single-shot semiring SpMV — the app/spmv.cpp loop."""
     fn = jax.jit(
@@ -166,7 +167,8 @@ def benchmark_spmv(
         _sync(out)
 
     correctness = (
-        check_result(np.asarray(out), gold, delta=config.delta)
+        check_result(np.asarray(out), gold, delta=config.delta,
+                     scale=gold_scale)
         if gold is not None else Correctness.NOT_CHECKED
     )
 

@@ -89,9 +89,12 @@ def dp_bsr_fused(op: BsrFusedOperand, x: jax.Array, sr: Semiring, *,
     strips = op.strips if not as_int else op.strips.astype(jnp.int32)
     upcast = strips.dtype == jnp.bfloat16
 
+    # rg must divide r_s AND stay a multiple of 8 (the gather loop writes
+    # 8-row aligned blocks); r_s is 8-aligned by build, so stepping down by
+    # 8 always terminates at a valid divisor
     rg = max(8, min(r_s, _ROWS_PER_STEP_TARGET_BYTES // max(bm * kbn * 4, 1) // 8 * 8))
     while r_s % rg:
-        rg //= 2
+        rg -= 8
     grid = (r_s // rg,)
 
     def kernel(cols_ref, strip_ref, x_ref, out_ref, xt_ref):

@@ -178,3 +178,26 @@ def test_bfloat16_value_storage(variant):
     )
     rel = np.abs(out - gold) / np.maximum(1e-3, np.abs(gold))
     assert rel.max() < 0.02
+
+
+def test_bsr_fused_awkward_block_row_count():
+    """Regression: 1138_bus-shaped matrices (143 block rows → r_s=144) used
+    to drive the fused kernel's rows-per-step below 8, breaking the
+    8-aligned gather loop."""
+    from sparseharness_tpu.formats import read_mtx
+    from tests.conftest import reference_matrix_path
+
+    p = reference_matrix_path("matrix.mtx")
+    if p is None:
+        coo = random_coo(1138, 1138, 4054, seed=0)
+    else:
+        coo = read_mtx(p)
+    sr = get_semiring("plus_times")
+    x, y = _xy(sr, coo, seed=0)
+    gold = spmv_gold(coo, x, y, sr)
+    op = build_operand(coo, sr, "bsr_fused")
+    out = np.asarray(
+        spmv(op, jnp.asarray(x), jnp.asarray(y), sr=sr, variant="bsr_fused",
+             n_rows=coo.shape[0])
+    )
+    assert check_result(out, gold, delta=1e-4) is Correctness.CORRECT
