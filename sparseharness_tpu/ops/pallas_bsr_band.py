@@ -180,3 +180,69 @@ def dp_bsr_band(op: BsrBandOperand, x: jax.Array, sr: Semiring, *,
     if as_int:
         dp = dp > 0
     return dp
+
+
+def spmm_band(op: BsrBandOperand, x_block: jax.Array, *, n_rows: int,
+              tm: int = 128) -> jax.Array:
+    """MXU block-sparse SpMM for the band layout: Y = A @ X.
+
+    Each grid step multiplies a group's dense strip (gs·bm, K·bn) by its
+    affine X window (K·bn, tm) with MXU dots — the FLOPs live on the
+    systolic array and the strips stream once per X column-tile. plus_times
+    only (MXU is a (+,×) engine); other semirings go through ops.spmm's
+    column map. X: (n_cols, m); returns (n_rows, m) float32.
+    """
+    r_rows, bm, kbn = op.strips.shape
+    k = op.k_win
+    bn = kbn // k
+    gs = bn // bm
+    n_groups = r_rows // gs
+    m = x_block.shape[1]
+    m_pad = round_up(max(m, 1), tm)
+    c_pad = round_up(max(x_block.shape[0], 1), bn)
+    c_blocks = c_pad // bn
+    xp = jnp.pad(
+        x_block.astype(jnp.float32),
+        ((0, c_pad - x_block.shape[0]), (0, m_pad - m)),
+    )
+    x3d = xp.reshape(c_blocks, bn, m_pad)
+    strips = op.strips  # f32 or bf16 — MXU takes both, f32 accumulation
+    c0 = op.c0
+    max_base = max(c_blocks - k, 0)
+
+    def kernel(strip_ref, *refs):
+        xw_refs, out_ref = refs[:-1], refs[-1]
+        st = strip_ref[...]  # (gs, bm, K·bn)
+        acc = None
+        # HIGHEST = 3-pass bf16 decomposition ≈ true f32 matmul; the MXU
+        # default single pass is bf16-precision and fails f32 gold checks.
+        # bf16-stored strips skip the extra passes (inputs are bf16 anyway).
+        prec = (
+            jax.lax.Precision.DEFAULT
+            if strips.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        )
+        for kk in range(k):
+            a = st[:, :, kk * bn:(kk + 1) * bn].reshape(gs * bm, bn)
+            part = jnp.dot(
+                a, xw_refs[kk][0], preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # (gs·bm, tm) on the MXU
+            acc = part if acc is None else acc + part
+        out_ref[...] = acc
+
+    # index maps are in *block* units, so the K window slots ride as K
+    # single-block specs at consecutive block indices (a k-sized block dim
+    # would stride by k, not 1)
+    def _xmap(kk):
+        return lambda g, j: (jnp.clip(g + c0, 0, max_base) + kk, 0, j)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_groups, m_pad // tm),
+        in_specs=[pl.BlockSpec((gs, bm, kbn), lambda g, j: (g, 0, 0))]
+        + [pl.BlockSpec((1, bn, tm), _xmap(kk)) for kk in range(k)],
+        out_specs=pl.BlockSpec((gs * bm, tm), lambda g, j: (g, j)),
+        out_shape=jax.ShapeDtypeStruct((r_rows * bm, m_pad), jnp.float32),
+        interpret=_interpret(),
+    )(strips, *([x3d] * k))
+    return out[:n_rows, :m]

@@ -27,7 +27,20 @@ def spmm(
     alpha=None,
     beta=None,
 ) -> jax.Array:
-    """Y[:, j] = (α ⊗ (⊕ A ⊗ X[:, j])) for each column j. Returns (n_rows, m)."""
+    """Y[:, j] = (α ⊗ (⊕ A ⊗ X[:, j])) for each column j. Returns (n_rows, m).
+
+    plus_times on a band operand takes the tile-native MXU kernel
+    (pallas_bsr_band.spmm_band); everything else maps the SpMV kernel over
+    columns."""
+    from sparseharness_tpu.ops.pallas_bsr_band import BsrBandOperand, spmm_band
+
+    if (
+        isinstance(operand, BsrBandOperand)
+        and sr.name == "plus_times"
+        and alpha in (None, 1.0)
+        and beta in (None, 0.0)
+    ):
+        return spmm_band(operand, x_block, n_rows=n_rows)
 
     def one(col):
         return registry.spmv(
