@@ -4,6 +4,10 @@ from sparseharness_tpu.parallel.mesh import (  # noqa: F401
 )
 from sparseharness_tpu.parallel.sharded import (  # noqa: F401
     ShardedEll,
+    HaloEll,
+    build_sharded_ell_halo,
+    sharded_spmv_halo,
+    sharded_fixpoint_halo,
     build_sharded_ell,
     sharded_spmv,
     sharded_fixpoint,

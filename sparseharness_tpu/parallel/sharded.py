@@ -331,6 +331,77 @@ def sharded_fixpoint(
     )
 
 
+def sharded_fixpoint_halo(
+    mesh: Mesh,
+    op: HaloEll,
+    x0: np.ndarray,
+    sr: Semiring,
+    *,
+    n_rows: int,
+    combine: Callable,
+    exact: bool = True,
+    delta: float = 0.0,
+    max_iter: int = 10_000,
+) -> ShardedFixpointResult:
+    """Fixpoint with per-iteration halo exchange: two ring ppermutes of the
+    halo edges replace the all-gather — ICI traffic O(halo) per chip per
+    iteration, overlapped with local compute by XLA's scheduler. Banded
+    operands only (build_sharded_ell_halo)."""
+    D, chunk, _ = op.cols.shape
+    halo = op.halo
+    r_pad = D * chunk
+    zero = jnp.asarray(sr.zero, sr.dtype)
+    x_pad = jnp.pad(
+        jnp.asarray(x0, dtype=sr.dtype), (0, r_pad - len(x0)),
+        constant_values=zero,
+    )
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(ROWS_AXIS, None, None), P(ROWS_AXIS, None, None),
+                  P(ROWS_AXIS)),
+        out_specs=(P(ROWS_AXIS), P(), P()),
+    )
+    def solve(cols, vals, x_local):
+        cols, vals = cols[0], vals[0]
+
+        def step(x_loc):
+            window = _halo_window(x_loc, halo, ROWS_AXIS)
+            dp = _local_dp(cols, vals, window, sr)
+            return combine(x_loc, dp)
+
+        def local_changed(a, b):
+            if exact:
+                return jnp.any(a != b)
+            return jnp.any(jnp.abs(a - b) >= delta)
+
+        def cond(carry):
+            _, it, done = carry
+            return jnp.logical_and(~done, it < max_iter)
+
+        def body(carry):
+            x_loc, it, _ = carry
+            x_new = step(x_loc)
+            changed = jax.lax.psum(
+                local_changed(x_loc, x_new).astype(jnp.int32), ROWS_AXIS
+            )
+            return (x_new, it + 1, changed == 0)
+
+        x_fin, iters, done = jax.lax.while_loop(
+            cond, body, (x_local, jnp.int32(0), jnp.bool_(False))
+        )
+        return x_fin, iters[None], done[None]
+
+    sh3 = NamedSharding(mesh, P(ROWS_AXIS, None, None))
+    cols = jax.device_put(op.cols, sh3)
+    vals = jax.device_put(op.vals, sh3)
+    x_sh = jax.device_put(x_pad, NamedSharding(mesh, P(ROWS_AXIS)))
+    x_fin, iters, done = jax.jit(solve)(cols, vals, x_sh)
+    return ShardedFixpointResult(
+        x=x_fin[:n_rows], iterations=int(iters[0]), converged=bool(done[0])
+    )
+
+
 # ----------------------------------------------------- algorithm wrappers
 
 

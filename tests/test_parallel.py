@@ -129,3 +129,24 @@ def test_weak_scaling_mechanics():
     assert pts[0].efficiency == 1.0
     assert pts[1].rows == 2 * pts[0].rows
     assert "efficiency" in report(pts)
+
+
+def test_halo_fixpoint_sssp_banded(mesh):
+    """SSSP over a banded (path-like) graph with halo exchange only."""
+    import jax.numpy as jnp
+    from sparseharness_tpu.formats import banded_coo
+    from sparseharness_tpu.parallel import (
+        build_sharded_ell_halo, sharded_fixpoint_halo,
+    )
+    from sparseharness_tpu.semiring import MIN_PLUS
+
+    coo = banded_coo(256, 4, seed=6)
+    op, chunk = build_sharded_ell_halo(coo, MIN_PLUS, mesh.devices.size)
+    x0 = np.full(256, np.finfo(np.float32).max, np.float32)
+    x0[0] = 0.0
+    res = sharded_fixpoint_halo(
+        mesh, op, x0, MIN_PLUS, n_rows=256,
+        combine=lambda x, dp: jnp.minimum(x, dp), exact=True, max_iter=300,
+    )
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), sssp_gold(coo, 0), rtol=1e-5)
