@@ -37,7 +37,14 @@ def main() -> int:
     p.add_argument("--outdir", required=True)
     p.add_argument("--experiment-id", default="sweep")
     p.add_argument("--sql", action="store_true", help="also write .sql files")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (validation runs)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
@@ -88,8 +95,15 @@ def main() -> int:
                             coo, np.asarray(prob.x0), np.asarray(prob.y),
                             prob.sr,
                         )
+                    import dataclasses as _dc
+
+                    cfg = config
+                    if pt.geometry.value_dtype != "float32":
+                        # reduced-precision storage vs f32 gold: bf16 has
+                        # ~3 decimal digits; tolerance must match
+                        cfg = _dc.replace(config, delta=max(config.delta, 2e-2))
                     res = benchmark_spmv(
-                        prob, gold=gold, config=config, geometry=pt.geometry,
+                        prob, gold=gold, config=cfg, geometry=pt.geometry,
                         matrix_name=mname, nnz=coo.nnz,
                     )
                 except NotImplementedError as e:
