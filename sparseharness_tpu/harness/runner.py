@@ -171,6 +171,13 @@ def benchmark_spmv(
                      scale=gold_scale)
         if gold is not None else Correctness.NOT_CHECKED
     )
+    # liveness check: a launch that changed nothing usually means a broken
+    # kernel (assertBuffersNotEqual, inc/opencl_utils.h:247; scripts grep
+    # for this exact phrase to tally failures)
+    out_np = np.asarray(out)
+    x_np = np.asarray(x)
+    if out_np.shape == x_np.shape and np.array_equal(out_np, x_np):
+        log.warning("kernel has probably failed: output equals input")
 
     x_bytes = x.size * x.dtype.itemsize
     out_bytes = out.size * out.dtype.itemsize

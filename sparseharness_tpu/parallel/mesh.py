@@ -27,6 +27,25 @@ def device_count() -> int:
     return len(jax.devices())
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: jax.distributed.initialize with explicit or
+    env-discovered topology. No-op when single-process (the common case in
+    this environment); on a pod slice each host calls this before building
+    the mesh and jax.devices() then spans all hosts (ICI within a slice,
+    DCN across — SURVEY §5 'Distributed communication backend')."""
+    if num_processes in (None, 1) and coordinator_address is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,
