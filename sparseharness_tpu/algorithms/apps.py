@@ -27,7 +27,7 @@ from sparseharness_tpu.formats.preprocess import pagerank_normalise, scc_normali
 from sparseharness_tpu.semiring import (
     Semiring, PLUS_TIMES, MIN_PLUS, OR_AND, MAX_RIGHT, get_semiring,
 )
-from sparseharness_tpu.ops import build_operand, spmv, Geometry
+from sparseharness_tpu.ops import build_operand, build_operand_auto, spmv, Geometry
 from sparseharness_tpu.algorithms.fixpoint import (
     FixpointResult, run_fixpoint, delta_converged, exact_converged,
 )
@@ -77,7 +77,10 @@ def make_spmv_problem(
     beta=None,
     seed: int = 0,
 ) -> Problem:
-    operand = build_operand(coo, sr, variant, geometry)
+    if variant == "auto":
+        variant, operand = build_operand_auto(coo, sr, geometry)
+    else:
+        operand = build_operand(coo, sr, variant, geometry)
     if x is None:
         # ConstXVectorGenerator analogue (inc/vector_generator.h:43) uses a
         # constant; random is the better default for correctness checking

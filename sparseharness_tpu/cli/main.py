@@ -30,7 +30,9 @@ def _common_parser(description: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
     p.add_argument("-m", "--matrix", required=True, help=".mtx file")
     p.add_argument("-k", "--kernel", default="ell",
-                   help="kernel variant (ell|coo_seg|dense|bsr_pallas)")
+                   help="kernel variant (auto|ell|coo_seg|dense|dia|"
+                        "bsr_pallas|bsr_ell|bsr_fused|bsr_band); 'auto' "
+                        "picks the fastest applicable structure")
     p.add_argument("-r", "--runfile", default=None,
                    help="runfile CSV (reference format) for a geometry sweep")
     p.add_argument("--sweep", action="store_true",

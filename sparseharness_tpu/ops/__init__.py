@@ -4,6 +4,7 @@ from sparseharness_tpu.ops.registry import (  # noqa: F401
     VARIANTS,
     get_variant,
     build_operand,
+    build_operand_auto,
     spmv,
 )
 from sparseharness_tpu.ops.jnp_ops import (  # noqa: F401

@@ -79,9 +79,27 @@ def get_variant(name: str) -> KernelVariant:
 # ------------------------------------------------------------------ public
 
 
+#: structure-aware fallback chain for variant="auto": the streaming band
+#: kernel when the window is affine, the fused gather kernel when x fits
+#: VMEM, the pre-gathered strips otherwise, ELL as the universal fallback
+AUTO_CHAIN = ("bsr_band", "bsr_fused", "bsr_ell", "ell")
+
+
 def build_operand(coo: COO, sr: Semiring, variant: str = "ell",
                   geometry: Geometry = Geometry()):
     return get_variant(variant).build(coo, sr, geometry)
+
+
+def build_operand_auto(coo: COO, sr: Semiring,
+                       geometry: Geometry = Geometry()):
+    """(variant_name, operand) for the first buildable AUTO_CHAIN entry."""
+    last = None
+    for name in AUTO_CHAIN:
+        try:
+            return name, get_variant(name).build(coo, sr, geometry)
+        except NotImplementedError as e:
+            last = e
+    raise NotImplementedError(f"no variant in {AUTO_CHAIN} applies: {last}")
 
 
 def spmv(

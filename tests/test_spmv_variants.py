@@ -201,3 +201,25 @@ def test_bsr_fused_awkward_block_row_count():
              n_rows=coo.shape[0])
     )
     assert check_result(out, gold, delta=1e-4) is Correctness.CORRECT
+
+
+def test_auto_variant_selection():
+    from sparseharness_tpu.ops import build_operand_auto
+    from sparseharness_tpu.ops.pallas_bsr_band import BsrBandOperand
+    from sparseharness_tpu.ops.pallas_bsr_fused import BsrFusedOperand
+    from sparseharness_tpu.formats import banded_coo, power_law_coo
+
+    sr = get_semiring("plus_times")
+    name, op = build_operand_auto(banded_coo(500, 4, seed=1), sr)
+    assert name == "bsr_band" and isinstance(op, BsrBandOperand)
+    name, op = build_operand_auto(power_law_coo(2000, 9000, seed=2), sr)
+    assert name in ("bsr_band", "bsr_fused")  # small matrices may fit a window
+
+    # 'auto' through the problem builder runs end-to-end
+    from sparseharness_tpu.algorithms import make_spmv_problem, spmv_once
+    coo = banded_coo(300, 3, seed=3)
+    prob = make_spmv_problem(coo, variant="auto", seed=1)
+    assert prob.variant == "bsr_band"
+    gold = spmv_gold(coo, np.asarray(prob.x0), np.asarray(prob.y), sr)
+    out = np.asarray(spmv_once(prob))
+    assert check_result(out, gold, delta=1e-4) is Correctness.CORRECT
