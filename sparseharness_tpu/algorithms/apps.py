@@ -25,7 +25,7 @@ import numpy as np
 from sparseharness_tpu.formats.sparse import COO
 from sparseharness_tpu.formats.preprocess import pagerank_normalise, scc_normalise
 from sparseharness_tpu.semiring import (
-    Semiring, PLUS_TIMES, MIN_PLUS, OR_AND, MAX_RIGHT, get_semiring,
+    Semiring, PLUS_TIMES, MIN_PLUS, OR_AND, MAX_RIGHT,
 )
 from sparseharness_tpu.ops import build_operand, build_operand_auto, spmv, Geometry
 from sparseharness_tpu.algorithms.fixpoint import (

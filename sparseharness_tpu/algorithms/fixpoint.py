@@ -20,7 +20,6 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from sparseharness_tpu.semiring import Semiring
 
 
 class FixpointResult(NamedTuple):

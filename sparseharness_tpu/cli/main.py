@@ -229,7 +229,7 @@ def pr_main(argv: Optional[list] = None) -> int:
 
 
 def scc_main(argv: Optional[list] = None) -> int:
-    from sparseharness_tpu.algorithms.apps import scc as scc_fn, _label_propagate
+    from sparseharness_tpu.algorithms.apps import _label_propagate
     from sparseharness_tpu.ops import Geometry
     from sparseharness_tpu.gold.algorithms import scc_labels_gold
 

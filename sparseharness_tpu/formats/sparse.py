@@ -28,7 +28,7 @@ allocateBuffers split, inc/harness.h:197).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -23,7 +23,6 @@ import time
 from typing import Any, Callable, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from sparseharness_tpu.gold.check import Correctness, check_result

@@ -15,16 +15,14 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Dict, List, Optional
+from typing import Callable, List, Optional
 
 import jax
 import numpy as np
 
-from sparseharness_tpu.formats.generate import banded_coo, random_graph_coo
+from sparseharness_tpu.formats.generate import random_graph_coo
 from sparseharness_tpu.parallel.mesh import make_mesh
-from sparseharness_tpu.parallel.sharded import (
-    build_sharded_ell, sharded_spmv,
-)
+from sparseharness_tpu.parallel.sharded import build_sharded_ell
 from sparseharness_tpu.semiring import Semiring, PLUS_TIMES
 from sparseharness_tpu.utils.logging import get_logger
 

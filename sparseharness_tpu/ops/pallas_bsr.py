@@ -32,7 +32,7 @@ Boolean semirings are carried as int32 on-device (or ≡ max, and ≡ min on
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

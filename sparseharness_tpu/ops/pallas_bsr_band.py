@@ -18,8 +18,6 @@ MAX_WINDOW_BLOCKS), so sweeps fall back to bsr_fused/bsr_ell.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from sparseharness_tpu.formats.sparse import COO, bsr_from_coo, round_up
 from sparseharness_tpu.semiring import Semiring

@@ -11,7 +11,6 @@ reference's runfile NDRange sweep axis (inc/run.h:9, example/runfile2.csv).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import jax

@@ -8,8 +8,6 @@ for single-shot SpMV and as a cross-check of the manual SPMD path.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
