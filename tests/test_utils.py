@@ -47,13 +47,19 @@ def test_timed_decorator():
     assert "work" in buf.getvalue()
 
 
-def test_logger_levels(capfd):
-    # capfd (fd-level): the handler binds the original stderr stream at
-    # first configure, which capsys's sys-level patching misses
+def test_logger_levels():
+    import logging
+
     log = get_logger("testmod")
-    set_log_level("ERROR")
-    log.warning("hidden")
-    log.error("shown")
-    err = capfd.readouterr().err
-    assert "shown" in err and "hidden" not in err
-    set_log_level("WARNING")
+    buf = io.StringIO()
+    h = logging.StreamHandler(buf)
+    logging.getLogger("sparseharness_tpu").addHandler(h)
+    try:
+        set_log_level("ERROR")
+        log.warning("hidden")
+        log.error("shown")
+    finally:
+        logging.getLogger("sparseharness_tpu").removeHandler(h)
+        set_log_level("WARNING")
+    out = buf.getvalue()
+    assert "shown" in out and "hidden" not in out
