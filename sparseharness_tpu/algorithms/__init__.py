@@ -13,4 +13,6 @@ from sparseharness_tpu.algorithms.apps import (  # noqa: F401
     pagerank,
     scc,
     eigenvector,
+    connected_components,
+    widest_path,
 )

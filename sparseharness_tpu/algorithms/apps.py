@@ -25,7 +25,7 @@ import numpy as np
 from sparseharness_tpu.formats.sparse import COO
 from sparseharness_tpu.formats.preprocess import pagerank_normalise, scc_normalise
 from sparseharness_tpu.semiring import (
-    Semiring, PLUS_TIMES, MIN_PLUS, OR_AND, MAX_RIGHT,
+    Semiring, PLUS_TIMES, MIN_PLUS, OR_AND, MAX_RIGHT, MIN_RIGHT, MAX_MIN,
 )
 from sparseharness_tpu.ops import build_operand, build_operand_auto, spmv, Geometry
 from sparseharness_tpu.algorithms.fixpoint import (
@@ -390,3 +390,70 @@ def eigenvector(
     ax = spmv(operand, res.x, None, sr=sr, variant=variant, n_rows=n)
     eigval = jnp.vdot(res.x, ax)
     return res, eigval
+
+
+# ------------------------------------------------- additional algorithms
+# (no counterpart apps in the reference — natural extensions of the same
+# semiring-fixpoint machinery)
+
+
+def connected_components(
+    coo: COO,
+    variant: str = "ell",
+    geometry: Geometry = Geometry(),
+    max_iter: Optional[int] = None,
+) -> FixpointResult:
+    """Undirected connected components via min-label propagation over the
+    symmetrized pattern ((min, select) semiring): label[i] = min vertex id
+    in i's component."""
+    _require_square(coo)
+    sr = MIN_RIGHT
+    n = coo.shape[0]
+    rows = np.concatenate([coo.rows, coo.cols])
+    cols = np.concatenate([coo.cols, coo.rows])
+    sym = COO(
+        rows.astype(np.int32), cols.astype(np.int32),
+        np.zeros(len(rows), np.int32), coo.shape,
+    )
+    operand = build_operand(sym, sr, variant, geometry)
+    x0 = jnp.arange(n, dtype=jnp.int32)
+    limit = max_iter if max_iter is not None else n + 1
+
+    def step(x):
+        dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+        return jnp.minimum(x, dp)
+
+    return jax.jit(
+        lambda x0: run_fixpoint(
+            step, x0, convergence=exact_converged, max_iter=limit
+        )
+    )(x0)
+
+
+def widest_path(
+    coo: COO,
+    root: int,
+    variant: str = "ell",
+    geometry: Geometry = Geometry(),
+    max_iter: Optional[int] = None,
+) -> FixpointResult:
+    """Bottleneck (widest) path widths from root via the (max, min)
+    semiring: width[i] = max over paths of the minimum edge weight."""
+    _require_square(coo)
+    _require_root(coo, root)
+    sr = MAX_MIN
+    operand = build_operand(coo, sr, variant, geometry)
+    n = coo.shape[0]
+    lo = jnp.float32(-FLT_MAX)
+    x0 = jnp.full((n,), lo, jnp.float32).at[root].set(jnp.float32(FLT_MAX))
+    limit = max_iter if max_iter is not None else n
+
+    def step(x):
+        dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+        return jnp.maximum(x, dp)
+
+    return jax.jit(
+        lambda x0: run_fixpoint(
+            step, x0, convergence=exact_converged, max_iter=limit
+        )
+    )(x0)

@@ -116,3 +116,74 @@ def run_fixpoint_stepped(
 def _step_with_flag(step_fn, convergence, x):
     x_new = step_fn(x)
     return x_new, convergence(x, x_new)
+
+
+def run_fixpoint_checkpointed(
+    step_fn: Callable,
+    x0: jax.Array,
+    *,
+    convergence: Callable,
+    max_iter: int,
+    ckpt_path: str,
+    every: int = 100,
+    aux0: Optional[jax.Array] = None,
+    aux_update: Optional[Callable] = None,
+) -> FixpointResult:
+    """Long-running fixpoints with durable progress: solve in on-device
+    chunks of ``every`` iterations, writing (x, iteration) to ``ckpt_path``
+    after each chunk (atomic rename), and resume from an existing
+    checkpoint on restart.
+
+    The reference has no in-process checkpointing; its experiment layer
+    resumes by filesystem convention (SURVEY §5) — this carries the same
+    convention into the solver for multi-hour graph solves."""
+    import os
+
+    import numpy as np
+
+    if not ckpt_path.endswith(".npz"):
+        ckpt_path += ".npz"
+    start = 0
+    x = x0
+    aux = aux0
+    if os.path.exists(ckpt_path):
+        data = np.load(ckpt_path)
+        x = jnp.asarray(data["x"])
+        start = int(data["iteration"])
+        if "aux" in data and aux0 is not None:
+            aux = jnp.asarray(data["aux"])
+
+    use_aux = aux0 is not None
+    if use_aux:
+        chunk = jax.jit(
+            lambda x, aux: run_fixpoint(
+                step_fn, x, convergence=convergence, max_iter=every,
+                aux0=aux, aux_update=aux_update,
+            )
+        )
+    else:
+        chunk = jax.jit(
+            lambda x: run_fixpoint(
+                step_fn, x, convergence=convergence, max_iter=every
+            )
+        )
+    total = start
+    converged = False
+    while total < max_iter and not converged:
+        res = chunk(x, aux) if use_aux else chunk(x)
+        x = res.x
+        if use_aux:
+            aux = res.aux
+        total += int(res.iterations)
+        converged = bool(res.converged)
+        tmp = ckpt_path[:-4] + ".tmp.npz"
+        payload = {"x": np.asarray(x), "iteration": total}
+        if use_aux:
+            payload["aux"] = np.asarray(aux)
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, ckpt_path)
+    return FixpointResult(
+        x=x, iterations=jnp.int32(total), converged=jnp.bool_(converged),
+        aux=aux,
+    )

@@ -10,4 +10,6 @@ from sparseharness_tpu.gold.algorithms import (  # noqa: F401
     pagerank_gold,
     scc_labels_gold,
     eigenvector_gold,
+    connected_components_gold,
+    widest_path_gold,
 )

@@ -36,6 +36,13 @@ def _np_ops(sr: Semiring):
             return np.where(r == int_min, r, l)
 
         return np.maximum, mul
+    if sr.name == "min_right":
+        int_max = np.iinfo(np.int32).max
+
+        def mul(l, r):
+            return np.where(r == int_max, r, l)
+
+        return np.minimum, mul
     return _NP_OPS[sr.name]
 
 

@@ -5,6 +5,7 @@ from sparseharness_tpu.semiring.core import (  # noqa: F401
     OR_AND,
     MAX_MIN,
     MAX_RIGHT,
+    MIN_RIGHT,
     MAX_TIMES,
     REGISTRY,
     get_semiring,

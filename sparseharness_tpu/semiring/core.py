@@ -202,6 +202,29 @@ def _select_left(l, r):
 
 
 INT_MIN = int(np.iinfo(np.int32).min)
+INT_MAX = int(np.iinfo(np.int32).max)
+
+
+def _select_left_min(l, r):
+    """⊗ for min-label propagation: pass x[j] through present edges; absent
+    edges (padded with zero = INT_MAX) annihilate."""
+    return jnp.where(r == jnp.asarray(INT_MAX, r.dtype), r, l)
+
+
+#: (min, select-vector-elem) on int32 — connected-components min-label
+#: propagation (undirected CC; the MIN dual of max_right)
+MIN_RIGHT = register_semiring(
+    Semiring(
+        name="min_right",
+        add=jnp.minimum,
+        mul=_select_left_min,
+        zero=INT_MAX,
+        one=0,  # unused: `one` has no meaning for the select product
+        dtype=jnp.int32,
+        add_reduce=jnp.min,
+        exact_convergence=True,
+    )
+)
 
 #: (max, select-vector-elem) on int32 — SCC max-label propagation
 #: (reference: app/scc.cpp — matrix values are vertex ids via scc_normalise,

@@ -109,3 +109,49 @@ def test_non_square_rejected():
 
     with pytest.raises(ValueError):
         sssp(random_coo(10, 20, 30), root=0)
+
+
+def test_connected_components_and_widest_path(small_graph):
+    import numpy as np_
+    from sparseharness_tpu.algorithms import connected_components, widest_path
+    from sparseharness_tpu.gold import (
+        connected_components_gold, widest_path_gold,
+    )
+
+    res = connected_components(small_graph)
+    np_.testing.assert_array_equal(
+        np_.asarray(res.x), connected_components_gold(small_graph)
+    )
+    res = widest_path(small_graph, root=0)
+    np_.testing.assert_allclose(
+        np_.asarray(res.x), widest_path_gold(small_graph, 0), rtol=1e-5
+    )
+
+
+def test_checkpointed_fixpoint_resumes(tmp_path, small_graph):
+    """Kill-and-resume: a solve interrupted mid-way continues from the
+    checkpoint and reaches the same fixpoint."""
+    import numpy as np_
+    from sparseharness_tpu.algorithms.apps import fixpoint_components
+    from sparseharness_tpu.algorithms.fixpoint import run_fixpoint_checkpointed
+
+    comp = fixpoint_components("sssp", small_graph, root=0)
+    ckpt = str(tmp_path / "sssp.npz")
+    # phase 1: only 3 iterations allowed → not converged, checkpoint exists
+    partial = run_fixpoint_checkpointed(
+        comp.step, comp.x0, convergence=comp.convergence, max_iter=3,
+        ckpt_path=ckpt, every=3,
+    )
+    assert not bool(partial.converged)
+    import os
+    assert os.path.exists(ckpt)
+    # phase 2: resume to completion
+    full = run_fixpoint_checkpointed(
+        comp.step, comp.x0, convergence=comp.convergence,
+        max_iter=comp.limit, ckpt_path=ckpt, every=4,
+    )
+    assert bool(full.converged)
+    np_.testing.assert_allclose(
+        np_.asarray(full.x), sssp_gold(small_graph, 0), rtol=1e-5
+    )
+    assert int(full.iterations) > 3  # resumed beyond phase 1
