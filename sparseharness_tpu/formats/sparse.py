@@ -98,6 +98,40 @@ class COO:
         return bsr_from_coo(self, bm, bn, zero)
 
 
+def fold_duplicates(coo: COO, add=None) -> COO:
+    """⊕-fold duplicate (row, col) entries into single entries.
+
+    MatrixMarket permits duplicates and the streaming kernels (ELL/CSR/COO)
+    fold them implicitly through the reduction; blocked builders scatter
+    into dense tiles where a plain assignment would *overwrite* — they call
+    this first so every variant agrees. ``add`` is a NumPy ufunc (default
+    np.add); pass the semiring's ⊕ mirror for non-plus semirings."""
+    if add is None:
+        add = np.add
+    key = coo.rows.astype(np.int64) * max(coo.shape[1], 1) + coo.cols
+    uniq, inverse = np.unique(key, return_inverse=True)
+    if len(uniq) == len(key):
+        return coo
+    first = np.full(len(uniq), len(key), np.int64)
+    np.minimum.at(first, inverse, np.arange(len(key), dtype=np.int64))
+    rows = coo.rows[first]
+    cols = coo.cols[first]
+    dt = coo.vals.dtype
+    if np.issubdtype(dt, np.bool_):
+        vals = np.zeros(len(uniq), dtype=dt)
+        np.logical_or.at(vals, inverse, coo.vals)
+        return COO(rows, cols, vals, coo.shape)
+    if add is np.minimum:
+        fill = np.inf if np.issubdtype(dt, np.floating) else np.iinfo(dt).max
+    elif add is np.maximum:
+        fill = -np.inf if np.issubdtype(dt, np.floating) else np.iinfo(dt).min
+    else:
+        fill = 0
+    vals = np.full(len(uniq), fill, dtype=dt)
+    add.at(vals, inverse, coo.vals)
+    return COO(rows, cols, vals, coo.shape)
+
+
 def coo_from_arrays(rows, cols, vals, shape) -> COO:
     return COO(
         np.asarray(rows, dtype=np.int32),

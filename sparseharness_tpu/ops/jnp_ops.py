@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sparseharness_tpu.formats.sparse import COO, round_up
+from sparseharness_tpu.formats.sparse import COO, fold_duplicates, round_up
 from sparseharness_tpu.semiring import Semiring
 
 
@@ -73,6 +73,9 @@ def build_coo_seg(coo: COO, sr: Semiring, nnz_multiple: int = 1024) -> CooOperan
 
 def build_dense(coo: COO, sr: Semiring, row_multiple: int = 8,
                 col_multiple: int = 128) -> DenseOperand:
+    from sparseharness_tpu.ops.pallas_bsr import _np_fold_for
+
+    coo = fold_duplicates(coo, _np_fold_for(sr, False))
     zero = np.asarray(sr.zero, np.dtype(sr.dtype))
     r_pad = round_up(max(coo.shape[0], 1), row_multiple)
     c_pad = round_up(max(coo.shape[1], 1), col_multiple)

@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sparseharness_tpu.formats.sparse import COO, bsr_from_coo, round_up
+from sparseharness_tpu.formats.sparse import COO, bsr_from_coo, fold_duplicates, round_up
 from sparseharness_tpu.semiring import Semiring
 
 # tiles per slab cap: 3 int32 scalar-prefetch arrays must fit comfortably in
@@ -57,6 +57,18 @@ class BsrOperand(NamedTuple):
     tile_rows: jax.Array   # int32 (S, T) block-row LOCAL to the slab
     tile_cols: jax.Array   # int32 (S, T) GLOBAL block-col of each tile
     row_start: jax.Array   # int32 (S, T) 1 at the first tile of a block-row
+
+
+def _np_fold_for(sr: Semiring, as_int: bool):
+    """NumPy ⊕ mirror for duplicate folding at build time (blocked layouts
+    scatter into dense tiles; without folding, duplicates would overwrite
+    instead of ⊕-combining like the streaming kernels do)."""
+    if as_int:
+        return np.maximum  # {0,1} carrier: or ≡ max
+    name = getattr(sr.add, "__name__", "")
+    return {"add": np.add, "minimum": np.minimum, "maximum": np.maximum}.get(
+        name, np.add
+    )
 
 
 def _carrier(sr: Semiring):
@@ -80,9 +92,11 @@ def build_bsr(
     vals = coo.vals
     if as_int:
         vals = (vals != 0).astype(np.int32)
-    bsr = bsr_from_coo(
-        COO(coo.rows, coo.cols, np.asarray(vals), coo.shape), bm, bn, zero=zero
+    folded = fold_duplicates(
+        COO(coo.rows, coo.cols, np.asarray(vals), coo.shape),
+        _np_fold_for(sr, as_int),
     )
+    bsr = bsr_from_coo(folded, bm, bn, zero=zero)
     n_block_rows = bsr.padded_shape[0] // bm
 
     tiles, rows, cols = bsr.tiles, bsr.tile_rows, bsr.tile_cols

@@ -25,9 +25,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sparseharness_tpu.formats.sparse import COO, round_up
+from sparseharness_tpu.formats.sparse import COO, fold_duplicates, round_up
 from sparseharness_tpu.semiring import Semiring
-from sparseharness_tpu.ops.pallas_bsr import _carrier, _interpret
+from sparseharness_tpu.ops.pallas_bsr import _carrier, _interpret, _np_fold_for
 
 MAX_WINDOW_BLOCKS = 8
 _TARGET_STEP_BYTES = 1024 * 1024
@@ -63,6 +63,7 @@ def build_bsr_band(coo: COO, sr: Semiring, bm: int = 8, bn: int = 128,
     gs = bn // bm  # block-rows per x-block-aligned group
     n, c = coo.shape
     dtype, _, _, _, zero, as_int = _carrier(sr)
+    coo = fold_duplicates(coo, _np_fold_for(sr, as_int))
     c_blocks = round_up(max(c, 1), bn) // bn
     n_block_rows = round_up(max(n, 1), bm) // bm
     n_groups = round_up(n_block_rows, gs) // gs

@@ -33,9 +33,9 @@ import numpy as np
 
 from jax.experimental import pallas as pl
 
-from sparseharness_tpu.formats.sparse import COO, bsr_from_coo, round_up
+from sparseharness_tpu.formats.sparse import COO, bsr_from_coo, fold_duplicates, round_up
 from sparseharness_tpu.semiring import Semiring
-from sparseharness_tpu.ops.pallas_bsr import _carrier, _interpret
+from sparseharness_tpu.ops.pallas_bsr import _carrier, _interpret, _np_fold_for
 
 # target VMEM footprint per grid step for the tiles block (before double
 # buffering); keeps well inside the ~16 MB/core budget
@@ -63,9 +63,11 @@ def build_bsr_ell(coo: COO, sr: Semiring, bm: int = 8, bn: int = 128,
     vals = coo.vals
     if as_int:
         vals = (vals != 0).astype(np.int32)
-    bsr = bsr_from_coo(
-        COO(coo.rows, coo.cols, np.asarray(vals), coo.shape), bm, bn, zero=zero
+    folded = fold_duplicates(
+        COO(coo.rows, coo.cols, np.asarray(vals), coo.shape),
+        _np_fold_for(sr, as_int),
     )
+    bsr = bsr_from_coo(folded, bm, bn, zero=zero)
     n_block_rows = bsr.padded_shape[0] // bm
     counts = np.bincount(bsr.tile_rows, minlength=n_block_rows)
     k = max(int(counts.max()), 1)

@@ -223,3 +223,26 @@ def test_auto_variant_selection():
     gold = spmv_gold(coo, np.asarray(prob.x0), np.asarray(prob.y), sr)
     out = np.asarray(spmv_once(prob))
     assert check_result(out, gold, delta=1e-4) is Correctness.CORRECT
+
+
+def test_duplicate_entries_fold_consistently():
+    """MatrixMarket allows duplicate coordinates; every variant must
+    ⊕-fold them like the gold (blocked builders used to overwrite)."""
+    from sparseharness_tpu.formats import coo_from_arrays
+
+    rows = [0, 0, 3, 3, 3, 7]
+    cols = [1, 1, 2, 2, 2, 7]
+    vals = np.asarray([1.5, 2.5, 1.0, 2.0, 3.0, 4.0], np.float32)
+    coo = coo_from_arrays(rows, cols, vals, (9, 9))
+    for srname in ("plus_times", "min_plus"):
+        sr = get_semiring(srname)
+        x, y = _xy(sr, coo, seed=8)
+        gold = spmv_gold(coo, x, y, sr)
+        for variant in ("ell", "bsr_fused", "bsr_band", "dense"):
+            op = build_operand(coo, sr, variant)
+            out = np.asarray(
+                spmv(op, jnp.asarray(x), jnp.asarray(y), sr=sr,
+                     variant=variant, n_rows=coo.shape[0])
+            )
+            assert check_result(out, gold, delta=1e-5) is Correctness.CORRECT, (
+                srname, variant)
