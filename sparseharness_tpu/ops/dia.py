@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sparseharness_tpu.formats.sparse import COO
+from sparseharness_tpu.formats.sparse import COO, fold_duplicates
 from sparseharness_tpu.semiring import Semiring
 
 # beyond this many distinct diagonals the format degrades to dense-like
@@ -51,6 +51,9 @@ class DiaOperand:
 def build_dia(coo: COO, sr: Semiring) -> DiaOperand:
     if coo.shape[0] != coo.shape[1]:
         raise NotImplementedError("dia variant requires a square matrix")
+    from sparseharness_tpu.ops.pallas_bsr import _np_fold_for
+
+    coo = fold_duplicates(coo, _np_fold_for(sr, False))
     n = coo.shape[0]
     offs_all = coo.cols.astype(np.int64) - coo.rows.astype(np.int64)
     offsets = np.unique(offs_all)
