@@ -263,6 +263,32 @@ def eigenvector_main(argv: Optional[list] = None) -> int:
     )
 
 
+def cc_main(argv: Optional[list] = None) -> int:
+    from sparseharness_tpu.algorithms import connected_components
+    from sparseharness_tpu.gold import connected_components_gold
+
+    return _fixpoint_main(
+        "Connected components via min-label propagation (new capability)",
+        lambda coo, a: connected_components(coo, variant=a.kernel,
+                                            max_iter=a.max_iter),
+        lambda coo, a: connected_components_gold(coo),
+        needs_root=False, argv=argv, exact=True, kernel_name="cc",
+    )
+
+
+def widest_path_main(argv: Optional[list] = None) -> int:
+    from sparseharness_tpu.algorithms import widest_path
+    from sparseharness_tpu.gold import widest_path_gold
+
+    return _fixpoint_main(
+        "Widest (bottleneck) path via the max-min semiring (new capability)",
+        lambda coo, a: widest_path(coo, a.root, variant=a.kernel,
+                                   max_iter=a.max_iter),
+        lambda coo, a: widest_path_gold(coo, a.root),
+        needs_root=True, argv=argv, exact=True, kernel_name="widest_path",
+    )
+
+
 def just_parser_main(argv: Optional[list] = None) -> int:
     """Preprocessing-only benchmark: N trials of .mtx load + operand encode
     with no device work — the app/just_parser.cpp analogue (profiled by
