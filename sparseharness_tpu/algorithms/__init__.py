@@ -15,4 +15,6 @@ from sparseharness_tpu.algorithms.apps import (  # noqa: F401
     eigenvector,
     connected_components,
     widest_path,
+    multi_sssp,
+    multi_bfs,
 )

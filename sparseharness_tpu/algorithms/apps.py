@@ -28,6 +28,7 @@ from sparseharness_tpu.semiring import (
     Semiring, PLUS_TIMES, MIN_PLUS, OR_AND, MAX_RIGHT, MIN_RIGHT, MAX_MIN,
 )
 from sparseharness_tpu.ops import build_operand, build_operand_auto, spmv, Geometry
+from sparseharness_tpu.ops.spmm import spmm
 from sparseharness_tpu.algorithms.fixpoint import (
     FixpointResult, run_fixpoint, delta_converged, exact_converged,
 )
@@ -457,3 +458,87 @@ def widest_path(
             step, x0, convergence=exact_converged, max_iter=limit
         )
     )(x0)
+
+
+# --------------------------------------------- multi-source (SpMM-batched)
+# The reference solves one source per process invocation (root is a single
+# CLI flag, app/sssp.cpp:215). On TPU a block of sources is the natural
+# unit: the per-iteration op becomes SpMM, the sparse operand streams once
+# per 256-wide root tile instead of once per root, and the fixpoint runs
+# until EVERY column converges (columns that finish early just stop
+# changing — the extra ⊕ passes are no-ops by idempotence).
+
+
+def _as_roots(coo: COO, roots) -> np.ndarray:
+    r = np.asarray(roots, np.int64).reshape(-1)
+    if r.size == 0:
+        raise ValueError("need at least one root")
+    for root in r:
+        _require_root(coo, int(root))
+    return r
+
+
+def multi_sssp(
+    coo: COO,
+    roots,
+    variant: str = "bsr_ell",
+    geometry: Geometry = Geometry(),
+    delta: float = 0.0,
+    max_iter: Optional[int] = None,
+) -> FixpointResult:
+    """Batched SSSP: result.x[:, j] == sssp(coo, roots[j]).x.
+
+    One min-plus SpMM fixpoint over an (n, m) distance block — the
+    tile-native kernel (ops/spmm_tiles.py) amortizes the matrix stream
+    across all m sources per iteration."""
+    _require_square(coo)
+    r = _as_roots(coo, roots)
+    sr = MIN_PLUS
+    operand = build_operand(coo, sr, variant, geometry)
+    n, m = coo.shape[0], len(r)
+    x0 = jnp.full((n, m), FLT_MAX, jnp.float32).at[r, jnp.arange(m)].set(0.0)
+    conv = exact_converged if delta <= 0.0 else delta_converged(delta)
+    limit = max_iter if max_iter is not None else n
+
+    def step(x):
+        dp = spmm(operand, x, sr=sr, variant=variant, n_rows=n)
+        return sr.add(x, dp)  # closure: keep own distance
+
+    return jax.jit(
+        lambda x0: run_fixpoint(step, x0, convergence=conv, max_iter=limit)
+    )(x0)
+
+
+def multi_bfs(
+    coo: COO,
+    roots,
+    variant: str = "bsr_ell",
+    geometry: Geometry = Geometry(),
+    max_iter: Optional[int] = None,
+) -> FixpointResult:
+    """Batched BFS: .x[:, j] reachability and .aux[:, j] int32 levels from
+    roots[j] (-1 unreachable) — one or/and SpMM fixpoint for all roots."""
+    _require_square(coo)
+    r = _as_roots(coo, roots)
+    sr = OR_AND
+    operand = build_operand(coo, sr, variant, geometry)
+    n, m = coo.shape[0], len(r)
+    cols_ix = jnp.arange(m)
+    x0 = jnp.zeros((n, m), jnp.bool_).at[r, cols_ix].set(True)
+    levels0 = jnp.full((n, m), -1, jnp.int32).at[r, cols_ix].set(0)
+    limit = max_iter if max_iter is not None else n + 1
+
+    def step(x):
+        dp = spmm(operand, x, sr=sr, variant=variant, n_rows=n)
+        return jnp.logical_or(x, dp)
+
+    def stamp(levels, x_old, x_new, it):
+        newly = jnp.logical_and(x_new, jnp.logical_not(x_old))
+        return jnp.where(newly, it + 1, levels)
+
+    return jax.jit(
+        lambda x0, l0: run_fixpoint(
+            step, x0, convergence=exact_converged, max_iter=limit,
+            aux0=l0, aux_update=stamp,
+        )
+    )(x0, levels0)

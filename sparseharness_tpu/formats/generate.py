@@ -94,3 +94,35 @@ def power_law_coo(
     cols2 = np.where(swap, rows, cols)
     vals = rng.uniform(0.1, 1.0, size=nnz).astype(dtype)
     return _dedup(rows2, cols2, vals, (n, n))
+
+
+def block_random_coo(
+    n: int,
+    blocks_per_row: int,
+    bm: int = 8,
+    bn: int = 128,
+    dtype=np.float32,
+    seed: int = 0,
+    value_range=(0.1, 1.0),
+) -> COO:
+    """Block-structured random sparsity: every (bm-row) block-row gets
+    ``blocks_per_row`` dense (bm, bn) blocks at distinct random block
+    columns — the FEM/graph-contraction structure BSR layouts exist for
+    (each stored tile is fully occupied, so tile layouts pay no padding)."""
+    rng = np.random.default_rng(seed)
+    n_br = max(n // bm, 1)
+    n_bc = max(n // bn, 1)
+    k = min(blocks_per_row, n_bc)
+    # distinct block-cols per block-row via argpartition of random keys
+    keys = rng.random((n_br, n_bc))
+    bcols = np.argpartition(keys, k - 1, axis=1)[:, :k]  # (n_br, k)
+    br = np.repeat(np.arange(n_br, dtype=np.int64), k)
+    bc = bcols.reshape(-1).astype(np.int64)
+    # expand each block to its bm*bn entries
+    rr = (br[:, None] * bm + np.arange(bm)[None, :]).reshape(-1)
+    rows = np.repeat(rr, bn)
+    cc = (bc[:, None] * bn + np.arange(bn)[None, :])
+    cols = np.tile(cc.reshape(len(br), 1, bn), (1, bm, 1)).reshape(-1)
+    vals = rng.uniform(*value_range, size=len(rows)).astype(dtype)
+    keep = (rows < n) & (cols < n)
+    return coo_from_arrays(rows[keep], cols[keep], vals[keep], (n, n))

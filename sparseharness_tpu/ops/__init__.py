@@ -13,3 +13,4 @@ from sparseharness_tpu.ops.jnp_ops import (  # noqa: F401
     DenseOperand,
 )
 from sparseharness_tpu.ops.pallas_bsr import BsrOperand, build_bsr, dp_bsr  # noqa: F401
+from sparseharness_tpu.ops.spmm import spmm  # noqa: F401

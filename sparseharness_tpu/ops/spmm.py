@@ -1,11 +1,17 @@
 """Semiring SpMM: Y = A ⊗ X for a block of dense right-hand sides.
 
-The north star names "Pallas SpMV/SpMM kernels" (BASELINE.json). v1 maps
-the SpMV kernel over X's columns with ``lax.map`` — correct for every
-semiring/variant, with A re-streamed per column (the honest cost model:
-sparse-A SpMM is A-traffic × m/tile_m unless A fits VMEM). A
-tile-native SpMM kernel (X col-tiles resident in VMEM, MXU dots per strip)
-is the planned round-2 upgrade; this module is the stable API for it.
+The north star names "Pallas SpMV/SpMM kernels" (BASELINE.json); the
+reference itself is SpMV-only (inc/kernel_utils.h:36 builds a single x).
+Dispatch, best kernel first:
+
+- band operand + plus_times → pallas_bsr_band.spmm_band (pure-streaming
+  affine-window MXU kernel, 4.5 TFLOP/s on v5e);
+- strip operands (bsr_ell / bsr_fused) → spmm_tiles.spmm_bsr_ell
+  (prefetch-steered X block DMAs; MXU contraction for plus_times, VPU
+  mul+reduce for every other semiring — powers batched multi-source
+  graph solves);
+- anything else → ``lax.map`` of the SpMV kernel over X's columns
+  (correct for every variant; A re-streamed per column).
 """
 
 from __future__ import annotations
@@ -14,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from sparseharness_tpu.ops import registry
+from sparseharness_tpu.ops.jnp_ops import fold_dp
 from sparseharness_tpu.semiring import Semiring
 
 
@@ -26,28 +33,44 @@ def spmm(
     n_rows: int,
     alpha=None,
     beta=None,
+    y_block: jax.Array = None,  # optional (n_rows, m) for the β fold
 ) -> jax.Array:
-    """Y[:, j] = (α ⊗ (⊕ A ⊗ X[:, j])) for each column j. Returns (n_rows, m).
-
-    plus_times on a band operand takes the tile-native MXU kernel
-    (pallas_bsr_band.spmm_band); everything else maps the SpMV kernel over
-    columns."""
+    """Y[:, j] = (α ⊗ (⊕ A ⊗ X[:, j])) ⊕ (β ⊗ Y0[:, j]). Returns (n_rows, m)."""
     from sparseharness_tpu.ops.pallas_bsr_band import BsrBandOperand, spmm_band
+    from sparseharness_tpu.ops.pallas_bsr_ell import BsrEllOperand
+    from sparseharness_tpu.ops.pallas_bsr_fused import BsrFusedOperand
+    from sparseharness_tpu.ops.spmm_tiles import (
+        spmm_bsr_ell, ell_operand_from_fused,
+    )
 
     if (
         isinstance(operand, BsrBandOperand)
         and sr.name == "plus_times"
         and alpha in (None, 1.0)
         and beta in (None, 0.0)
+        and y_block is None
     ):
         return spmm_band(operand, x_block, n_rows=n_rows)
 
-    def one(col):
+    tile_op = None
+    if isinstance(operand, BsrEllOperand):
+        tile_op = operand
+    elif isinstance(operand, BsrFusedOperand):
+        tile_op = ell_operand_from_fused(operand)
+    if tile_op is not None:
+        dp = spmm_bsr_ell(tile_op, x_block, sr, n_rows=n_rows)
+        return fold_dp(dp, y_block, sr, alpha, beta)
+
+    def one(col_y):
+        col, y = col_y
         return registry.spmv(
-            operand, col, None, sr=sr, variant=variant, n_rows=n_rows,
+            operand, col, y, sr=sr, variant=variant, n_rows=n_rows,
             alpha=alpha, beta=beta,
         )
 
     cols = jnp.moveaxis(x_block, 1, 0)  # (m, n_cols)
-    out = jax.lax.map(one, cols)        # (m, n_rows)
+    if y_block is None:
+        out = jax.lax.map(lambda c: one((c, None)), cols)
+    else:
+        out = jax.lax.map(one, (cols, jnp.moveaxis(y_block, 1, 0)))
     return jnp.moveaxis(out, 0, 1)

@@ -59,3 +59,122 @@ def test_spmm_band_wide_rhs_tiles():
              n_rows=coo.shape[0])
     )
     np.testing.assert_allclose(out, gold, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------- tile-native SpMM kernel
+
+
+def test_spmm_tile_kernel_all_semirings():
+    """spmm_tiles.spmm_bsr_ell (MXU for plus_times, VPU otherwise) matches
+    the per-column gold for every semiring on both strip operands."""
+    from sparseharness_tpu.semiring import OR_AND, MAX_RIGHT, MAX_MIN
+
+    coo = random_coo(300, 257, 2500, seed=3)
+    rng = np.random.default_rng(4)
+    for sr in (PLUS_TIMES, MIN_PLUS, MAX_MIN, MAX_RIGHT, OR_AND):
+        if np.dtype(sr.dtype) == np.bool_:
+            X = rng.uniform(0, 1, (coo.shape[1], 5)) > 0.5
+        elif np.issubdtype(np.dtype(sr.dtype), np.integer):
+            X = rng.integers(0, 100, (coo.shape[1], 5)).astype(sr.dtype)
+        else:
+            X = rng.uniform(0.1, 1.0, (coo.shape[1], 5)).astype(sr.dtype)
+        y = np.full(coo.shape[0], sr.zero, sr.dtype)
+        gold = np.stack(
+            [np.asarray(spmv_gold(coo, X[:, j], y, sr)) for j in range(5)],
+            axis=1,
+        )
+        for variant in ("bsr_ell", "bsr_fused"):
+            op = build_operand(coo, sr, variant)
+            out = np.asarray(
+                spmm(op, jnp.asarray(X), sr=sr, variant=variant,
+                     n_rows=coo.shape[0])
+            )
+            if np.dtype(sr.dtype) == np.bool_:
+                np.testing.assert_array_equal(out, gold)
+            else:
+                np.testing.assert_allclose(
+                    out.astype(np.float64), gold.astype(np.float64),
+                    rtol=1e-4, atol=1e-4,
+                )
+
+
+def test_spmm_tile_kernel_chunked_k():
+    """K > MAX_KC exercises the kc grid axis + out-block ⊕ accumulation."""
+    coo = random_coo(64, 4096, 6000, seed=5)
+    op = build_operand(coo, MIN_PLUS, "bsr_ell")
+    assert op.tile_cols.shape[1] > 8  # the point of the test
+    rng = np.random.default_rng(6)
+    X = rng.uniform(0.1, 1.0, (coo.shape[1], 3)).astype(np.float32)
+    out = np.asarray(
+        spmm(op, jnp.asarray(X), sr=MIN_PLUS, variant="bsr_ell", n_rows=64)
+    )
+    gold = _gold_spmm_sr(coo, X, MIN_PLUS)
+    np.testing.assert_allclose(out, gold, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_tile_kernel_alpha_beta_fold():
+    coo = random_coo(100, 100, 700, seed=7)
+    rng = np.random.default_rng(8)
+    X = rng.uniform(0.1, 1.0, (100, 4)).astype(np.float32)
+    Y0 = rng.uniform(0.1, 1.0, (100, 4)).astype(np.float32)
+    op = build_operand(coo, PLUS_TIMES, "bsr_ell")
+    out = np.asarray(
+        spmm(op, jnp.asarray(X), sr=PLUS_TIMES, variant="bsr_ell",
+             n_rows=100, alpha=2.0, beta=0.5, y_block=jnp.asarray(Y0))
+    )
+    base = _gold_spmm_sr(coo, X, PLUS_TIMES)
+    np.testing.assert_allclose(out, 2.0 * base + 0.5 * Y0, rtol=1e-4,
+                               atol=1e-4)
+
+
+def _gold_spmm_sr(coo, X, sr):
+    y = np.full(coo.shape[0], sr.zero, sr.dtype)
+    return np.stack(
+        [np.asarray(spmv_gold(coo, X[:, j], y, sr)) for j in range(X.shape[1])],
+        axis=1,
+    )
+
+
+# --------------------------------------------------- multi-source solvers
+
+
+def test_multi_sssp_matches_single_source():
+    from sparseharness_tpu.algorithms import multi_sssp, sssp
+    from sparseharness_tpu.formats import random_graph_coo
+
+    coo = random_graph_coo(120, 4.0, seed=9)
+    roots = [0, 7, 33]
+    res = multi_sssp(coo, roots)
+    assert res.x.shape == (coo.shape[0], 3)
+    for j, r in enumerate(roots):
+        single = sssp(coo, r)
+        np.testing.assert_allclose(
+            np.asarray(res.x[:, j]), np.asarray(single.x), rtol=1e-5
+        )
+
+
+def test_multi_bfs_matches_single_source():
+    from sparseharness_tpu.algorithms import multi_bfs, bfs
+    from sparseharness_tpu.formats import random_graph_coo
+
+    coo = random_graph_coo(120, 3.0, seed=10)
+    roots = [1, 50]
+    res = multi_bfs(coo, roots)
+    for j, r in enumerate(roots):
+        single = bfs(coo, r)
+        np.testing.assert_array_equal(
+            np.asarray(res.x[:, j]), np.asarray(single.x)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.aux[:, j]), np.asarray(single.aux)
+        )
+
+
+def test_multi_sssp_validates_roots():
+    coo = random_coo(10, 10, 30, seed=11)
+    from sparseharness_tpu.algorithms import multi_sssp
+
+    with pytest.raises(ValueError):
+        multi_sssp(coo, [0, 99])
+    with pytest.raises(ValueError):
+        multi_sssp(coo, [])
