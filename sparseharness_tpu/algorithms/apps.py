@@ -36,6 +36,14 @@ from sparseharness_tpu.algorithms.fixpoint import (
 FLT_MAX = float(np.finfo(np.float32).max)
 
 
+def _build(coo: COO, sr: Semiring, variant: str, geometry: Geometry):
+    """(resolved_variant, operand) — resolves variant="auto" through the
+    structure-aware chain so every app accepts it, not just spmv."""
+    if variant == "auto":
+        return build_operand_auto(coo, sr, geometry)
+    return variant, build_operand(coo, sr, variant, geometry)
+
+
 def _require_square(coo: COO) -> None:
     # the reference's COMMON_MAIN_PREAMBLE rejects non-square matrices for
     # every app (inc/common.h:49-56)
@@ -47,6 +55,49 @@ def _require_root(coo: COO, root: int) -> None:
     # negative roots would silently wrap via Python indexing
     if not 0 <= root < coo.shape[0]:
         raise ValueError(f"root {root} out of range [0, {coo.shape[0]})")
+
+
+def _reorder_pre(coo: COO, reorder, roots=None):
+    """(coo', inv, roots') — symmetric-permutation preprocessing.
+
+    reorder="rcm" routes general matrices onto the banded fast kernel
+    (formats/reorder.py); the solve then runs entirely in permuted space
+    and results are mapped back by :func:`_unpermute_result`. Identity
+    when reorder is falsy."""
+    if not reorder:
+        return coo, None, roots
+    if reorder != "rcm":
+        raise ValueError(f"unknown reorder method {reorder!r} (try 'rcm')")
+    from sparseharness_tpu.formats.reorder import (
+        inverse_permutation, permute_coo, rcm_permutation,
+    )
+
+    perm = rcm_permutation(coo)
+    inv = inverse_permutation(perm)
+    if roots is not None:
+        roots = (
+            int(inv[roots]) if np.isscalar(roots) or np.ndim(roots) == 0
+            else inv[np.asarray(roots)]
+        )
+    return permute_coo(coo, perm), inv, roots
+
+
+def _unpermute_result(res: FixpointResult, inv) -> FixpointResult:
+    """Map result vectors (axis 0 = node) back to original numbering."""
+    if inv is None:
+        return res
+    x = jnp.asarray(np.asarray(res.x)[inv])
+    aux = None if res.aux is None else jnp.asarray(np.asarray(res.aux)[inv])
+    return res._replace(x=x, aux=aux)
+
+
+def _relabel_components(labels: np.ndarray) -> np.ndarray:
+    """Canonicalize per-node component labels to the minimum member index
+    (numbering-independent, so reordered and direct runs agree)."""
+    _, comp = np.unique(labels, return_inverse=True)
+    rep = np.full(comp.max() + 1, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(rep, comp, np.arange(len(labels)))
+    return rep[comp].astype(np.int32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,10 +129,7 @@ def make_spmv_problem(
     beta=None,
     seed: int = 0,
 ) -> Problem:
-    if variant == "auto":
-        variant, operand = build_operand_auto(coo, sr, geometry)
-    else:
-        operand = build_operand(coo, sr, variant, geometry)
+    variant, operand = _build(coo, sr, variant, geometry)
     if x is None:
         # ConstXVectorGenerator analogue (inc/vector_generator.h:43) uses a
         # constant; random is the better default for correctness checking
@@ -138,7 +186,7 @@ def fixpoint_components(
     n = coo.shape[0]
     if algo == "sssp":
         sr = MIN_PLUS
-        operand = build_operand(coo, sr, variant, geometry)
+        variant, operand = _build(coo, sr, variant, geometry)
         x0 = jnp.full((n,), FLT_MAX, jnp.float32).at[root].set(0.0)
         conv = (
             exact_converged if not delta else delta_converged(delta)
@@ -152,7 +200,7 @@ def fixpoint_components(
         return FixpointComponents(step, x0, conv, limit)
     if algo == "bfs":
         sr = OR_AND
-        operand = build_operand(coo, sr, variant, geometry)
+        variant, operand = _build(coo, sr, variant, geometry)
         x0 = jnp.zeros((n,), jnp.bool_).at[root].set(True)
         limit = max_iter if max_iter is not None else n + 1
 
@@ -164,7 +212,7 @@ def fixpoint_components(
     if algo == "pagerank":
         sr = PLUS_TIMES
         damped = pagerank_normalise(coo, damping)
-        operand = build_operand(damped, sr, variant, geometry)
+        variant, operand = _build(damped, sr, variant, geometry)
         x0 = jnp.full((n,), 1.0 / n, jnp.float32)
         teleport = jnp.float32((1.0 - damping) / n)
 
@@ -179,7 +227,7 @@ def fixpoint_components(
     if algo == "scc":
         sr = MAX_RIGHT
         labelled = scc_normalise(coo)
-        operand = build_operand(labelled, sr, variant, geometry)
+        variant, operand = _build(labelled, sr, variant, geometry)
         x0 = jnp.arange(n, dtype=jnp.int32)
         limit = max_iter if max_iter is not None else n + 1
 
@@ -190,7 +238,7 @@ def fixpoint_components(
         return FixpointComponents(step, x0, exact_converged, limit)
     if algo == "eigenvector":
         sr = PLUS_TIMES
-        operand = build_operand(coo, sr, variant, geometry)
+        variant, operand = _build(coo, sr, variant, geometry)
         x0 = jnp.full((n,), 1.0 / np.sqrt(n), jnp.float32)
 
         def step(x):
@@ -215,17 +263,20 @@ def sssp(
     geometry: Geometry = Geometry(),
     delta: float = 0.0,
     max_iter: Optional[int] = None,
+    reorder: Optional[str] = None,
 ) -> FixpointResult:
     """Single-source shortest paths via min-plus fixpoint
     (app/sssp.cpp: x0 = ∞ except root = 0, README.md:29-40).
 
     delta=0.0 iterates to the exact Bellman-Ford fixpoint (|Δ| < δ never
     fires spuriously since < is strict only for 0 when Δ==0 ⇒ uses ≤ via
-    'no element changed'); pass delta>0 for early approximate stopping."""
+    'no element changed'); pass delta>0 for early approximate stopping.
+    reorder="rcm" solves in bandwidth-reduced space (same distances)."""
     _require_square(coo)
     _require_root(coo, root)
+    coo, inv, root = _reorder_pre(coo, reorder, root)
     sr = MIN_PLUS
-    operand = build_operand(coo, sr, variant, geometry)
+    variant, operand = _build(coo, sr, variant, geometry)
     n = coo.shape[0]
     x0 = jnp.full((n,), FLT_MAX, jnp.float32).at[root].set(0.0)
     conv = exact_converged if delta <= 0.0 else delta_converged(delta)
@@ -237,9 +288,10 @@ def sssp(
         dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
         return sr.add(x, dp)  # closure: keep own distance
 
-    return jax.jit(
+    res = jax.jit(
         lambda x0: run_fixpoint(step, x0, convergence=conv, max_iter=limit)
     )(x0)
+    return _unpermute_result(res, inv)
 
 
 # ------------------------------------------------------------------- bfs
@@ -251,6 +303,7 @@ def bfs(
     variant: str = "ell",
     geometry: Geometry = Geometry(),
     max_iter: Optional[int] = None,
+    reorder: Optional[str] = None,
 ) -> FixpointResult:
     """BFS via or/and fixpoint (app/bfs.cpp: x0 = false except root).
 
@@ -258,8 +311,9 @@ def bfs(
     0 root) — the levels the reference's int-typed 'bool' kernels imply."""
     _require_square(coo)
     _require_root(coo, root)
+    coo, inv, root = _reorder_pre(coo, reorder, root)
     sr = OR_AND
-    operand = build_operand(coo, sr, variant, geometry)
+    variant, operand = _build(coo, sr, variant, geometry)
     n = coo.shape[0]
     x0 = jnp.zeros((n,), jnp.bool_).at[root].set(True)
     levels0 = jnp.full((n,), -1, jnp.int32).at[root].set(0)
@@ -273,12 +327,13 @@ def bfs(
         newly = jnp.logical_and(x_new, jnp.logical_not(x_old))
         return jnp.where(newly, it + 1, levels)
 
-    return jax.jit(
+    res = jax.jit(
         lambda x0, l0: run_fixpoint(
             step, x0, convergence=exact_converged, max_iter=limit,
             aux0=l0, aux_update=stamp,
         )
     )(x0, levels0)
+    return _unpermute_result(res, inv)
 
 
 # --------------------------------------------------------------- pagerank
@@ -291,14 +346,16 @@ def pagerank(
     geometry: Geometry = Geometry(),
     delta: float = 1e-6,
     max_iter: int = 1000,
+    reorder: Optional[str] = None,
 ) -> FixpointResult:
     """PageRank power iteration (app/pr.cpp: damping 0.85, x0 = 1/N,
     teleport β = (1−d)/N; matrix column-normalized+damped in preprocessing
     via pagerank_normalise, src/sparse_matrix.cpp:409)."""
     _require_square(coo)
+    coo, inv, _ = _reorder_pre(coo, reorder)
     sr = PLUS_TIMES
     damped = pagerank_normalise(coo, damping)
-    operand = build_operand(damped, sr, variant, geometry)
+    variant, operand = _build(damped, sr, variant, geometry)
     n = coo.shape[0]
     x0 = jnp.full((n,), 1.0 / n, jnp.float32)
     teleport = jnp.float32((1.0 - damping) / n)
@@ -307,11 +364,12 @@ def pagerank(
         dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
         return dp + teleport
 
-    return jax.jit(
+    res = jax.jit(
         lambda x0: run_fixpoint(
             step, x0, convergence=delta_converged(delta), max_iter=max_iter
         )
     )(x0)
+    return _unpermute_result(res, inv)
 
 
 # -------------------------------------------------------------------- scc
@@ -322,26 +380,32 @@ def scc(
     variant: str = "ell",
     geometry: Geometry = Geometry(),
     max_iter: Optional[int] = None,
+    reorder: Optional[str] = None,
 ) -> Tuple[np.ndarray, FixpointResult, FixpointResult]:
     """Strongly connected components via forward ∧ backward max-label
     propagation. The reference's app/scc.cpp does only the forward pass
     (SURVEY quirk list); the intersection here completes the algorithm.
 
-    Returns (component_ids, forward_fixpoint, backward_fixpoint)."""
+    Returns (component_ids, forward_fixpoint, backward_fixpoint);
+    component ids are canonicalized to the minimum member vertex, so they
+    are identical with and without reordering."""
     _require_square(coo)
+    coo, inv, _ = _reorder_pre(coo, reorder)
     fwd = _label_propagate(coo, variant, geometry, max_iter)
     bwd = _label_propagate(coo.transpose(), variant, geometry, max_iter)
     f = np.asarray(fwd.x, dtype=np.int64)
     b = np.asarray(bwd.x, dtype=np.int64)
     pair = f * coo.shape[0] + b
-    _, comp = np.unique(pair, return_inverse=True)
-    return comp.astype(np.int32), fwd, bwd
+    if inv is not None:
+        pair = pair[inv]  # back to original vertex order
+        fwd, bwd = _unpermute_result(fwd, inv), _unpermute_result(bwd, inv)
+    return _relabel_components(pair), fwd, bwd
 
 
 def _label_propagate(coo, variant, geometry, max_iter) -> FixpointResult:
     sr = MAX_RIGHT
     labelled = scc_normalise(coo)
-    operand = build_operand(labelled, sr, variant, geometry)
+    variant, operand = _build(labelled, sr, variant, geometry)
     n = coo.shape[0]
     x0 = jnp.arange(n, dtype=jnp.int32)  # vertex-id iota (app/scc.cpp:179-195)
     limit = max_iter if max_iter is not None else n + 1
@@ -366,6 +430,7 @@ def eigenvector(
     geometry: Geometry = Geometry(),
     delta: float = 1e-6,
     max_iter: int = 1000,
+    reorder: Optional[str] = None,
 ) -> Tuple[FixpointResult, jax.Array]:
     """Dominant eigenvector by power iteration with L2 normalization.
 
@@ -373,8 +438,9 @@ def eigenvector(
     from the build (CMakeLists.txt:51); this is the working implementation
     the north star asks for. Returns (fixpoint, rayleigh_eigenvalue)."""
     _require_square(coo)
+    coo, inv, _ = _reorder_pre(coo, reorder)
     sr = PLUS_TIMES
-    operand = build_operand(coo, sr, variant, geometry)
+    variant, operand = _build(coo, sr, variant, geometry)
     n = coo.shape[0]
     x0 = jnp.full((n,), 1.0 / np.sqrt(n), jnp.float32)
 
@@ -389,8 +455,8 @@ def eigenvector(
         )
     )(x0)
     ax = spmv(operand, res.x, None, sr=sr, variant=variant, n_rows=n)
-    eigval = jnp.vdot(res.x, ax)
-    return res, eigval
+    eigval = jnp.vdot(res.x, ax)  # Rayleigh quotient is permutation-invariant
+    return _unpermute_result(res, inv), eigval
 
 
 # ------------------------------------------------- additional algorithms
@@ -403,11 +469,13 @@ def connected_components(
     variant: str = "ell",
     geometry: Geometry = Geometry(),
     max_iter: Optional[int] = None,
+    reorder: Optional[str] = None,
 ) -> FixpointResult:
     """Undirected connected components via min-label propagation over the
     symmetrized pattern ((min, select) semiring): label[i] = min vertex id
-    in i's component."""
+    in i's component (in original numbering even under reorder)."""
     _require_square(coo)
+    coo, inv, _ = _reorder_pre(coo, reorder)
     sr = MIN_RIGHT
     n = coo.shape[0]
     rows = np.concatenate([coo.rows, coo.cols])
@@ -416,7 +484,7 @@ def connected_components(
         rows.astype(np.int32), cols.astype(np.int32),
         np.zeros(len(rows), np.int32), coo.shape,
     )
-    operand = build_operand(sym, sr, variant, geometry)
+    variant, operand = _build(sym, sr, variant, geometry)
     x0 = jnp.arange(n, dtype=jnp.int32)
     limit = max_iter if max_iter is not None else n + 1
 
@@ -424,11 +492,16 @@ def connected_components(
         dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
         return jnp.minimum(x, dp)
 
-    return jax.jit(
+    res = jax.jit(
         lambda x0: run_fixpoint(
             step, x0, convergence=exact_converged, max_iter=limit
         )
     )(x0)
+    if inv is not None:
+        res = res._replace(
+            x=jnp.asarray(_relabel_components(np.asarray(res.x)[inv]))
+        )
+    return res
 
 
 def widest_path(
@@ -437,13 +510,15 @@ def widest_path(
     variant: str = "ell",
     geometry: Geometry = Geometry(),
     max_iter: Optional[int] = None,
+    reorder: Optional[str] = None,
 ) -> FixpointResult:
     """Bottleneck (widest) path widths from root via the (max, min)
     semiring: width[i] = max over paths of the minimum edge weight."""
     _require_square(coo)
     _require_root(coo, root)
+    coo, inv, root = _reorder_pre(coo, reorder, root)
     sr = MAX_MIN
-    operand = build_operand(coo, sr, variant, geometry)
+    variant, operand = _build(coo, sr, variant, geometry)
     n = coo.shape[0]
     lo = jnp.float32(-FLT_MAX)
     x0 = jnp.full((n,), lo, jnp.float32).at[root].set(jnp.float32(FLT_MAX))
@@ -453,11 +528,12 @@ def widest_path(
         dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
         return jnp.maximum(x, dp)
 
-    return jax.jit(
+    res = jax.jit(
         lambda x0: run_fixpoint(
             step, x0, convergence=exact_converged, max_iter=limit
         )
     )(x0)
+    return _unpermute_result(res, inv)
 
 
 # --------------------------------------------- multi-source (SpMM-batched)
@@ -485,6 +561,7 @@ def multi_sssp(
     geometry: Geometry = Geometry(),
     delta: float = 0.0,
     max_iter: Optional[int] = None,
+    reorder: Optional[str] = None,
 ) -> FixpointResult:
     """Batched SSSP: result.x[:, j] == sssp(coo, roots[j]).x.
 
@@ -493,8 +570,9 @@ def multi_sssp(
     across all m sources per iteration."""
     _require_square(coo)
     r = _as_roots(coo, roots)
+    coo, inv, r = _reorder_pre(coo, reorder, r)
     sr = MIN_PLUS
-    operand = build_operand(coo, sr, variant, geometry)
+    variant, operand = _build(coo, sr, variant, geometry)
     n, m = coo.shape[0], len(r)
     x0 = jnp.full((n, m), FLT_MAX, jnp.float32).at[r, jnp.arange(m)].set(0.0)
     conv = exact_converged if delta <= 0.0 else delta_converged(delta)
@@ -504,9 +582,10 @@ def multi_sssp(
         dp = spmm(operand, x, sr=sr, variant=variant, n_rows=n)
         return sr.add(x, dp)  # closure: keep own distance
 
-    return jax.jit(
+    res = jax.jit(
         lambda x0: run_fixpoint(step, x0, convergence=conv, max_iter=limit)
     )(x0)
+    return _unpermute_result(res, inv)
 
 
 def multi_bfs(
@@ -515,13 +594,15 @@ def multi_bfs(
     variant: str = "bsr_ell",
     geometry: Geometry = Geometry(),
     max_iter: Optional[int] = None,
+    reorder: Optional[str] = None,
 ) -> FixpointResult:
     """Batched BFS: .x[:, j] reachability and .aux[:, j] int32 levels from
     roots[j] (-1 unreachable) — one or/and SpMM fixpoint for all roots."""
     _require_square(coo)
     r = _as_roots(coo, roots)
+    coo, inv, r = _reorder_pre(coo, reorder, r)
     sr = OR_AND
-    operand = build_operand(coo, sr, variant, geometry)
+    variant, operand = _build(coo, sr, variant, geometry)
     n, m = coo.shape[0], len(r)
     cols_ix = jnp.arange(m)
     x0 = jnp.zeros((n, m), jnp.bool_).at[r, cols_ix].set(True)
@@ -536,9 +617,10 @@ def multi_bfs(
         newly = jnp.logical_and(x_new, jnp.logical_not(x_old))
         return jnp.where(newly, it + 1, levels)
 
-    return jax.jit(
+    res = jax.jit(
         lambda x0, l0: run_fixpoint(
             step, x0, convergence=exact_converged, max_iter=limit,
             aux0=l0, aux_update=stamp,
         )
     )(x0, levels0)
+    return _unpermute_result(res, inv)

@@ -50,6 +50,11 @@ def _common_parser(description: str) -> argparse.ArgumentParser:
                    help="skip the gold correctness check")
     p.add_argument("--trace", action="store_true",
                    help="emit PROFILING_DATUM scoped-timer lines")
+    p.add_argument("--reorder", choices=["rcm"], default=None,
+                   help="bandwidth-reducing symmetric reordering before the "
+                        "solve (routes general matrices onto the banded "
+                        "streaming kernel); results are mapped back to the "
+                        "original vertex numbering")
     return p
 
 
@@ -80,6 +85,15 @@ def _emit(records, args) -> None:
 def spmv_main(argv: Optional[list] = None) -> int:
     args = _common_parser("semiring SpMV benchmark (app/spmv.cpp)").parse_args(argv)
     coo = _setup(args)
+    if args.reorder:
+        # benchmark P·A·Pᵀ: problem, gold, and sweep all live in permuted
+        # space, so correctness checks are unchanged; the point is the
+        # kernel the reordered structure routes to (-k auto)
+        from sparseharness_tpu.formats import bandwidth, reorder_rcm
+
+        bw0 = bandwidth(coo)
+        coo, _ = reorder_rcm(coo)
+        print(f"rcm: bandwidth {bw0} -> {bandwidth(coo)}")
     from sparseharness_tpu.algorithms import make_spmv_problem
     from sparseharness_tpu.gold import spmv_gold, spmv_abs_bound
     from sparseharness_tpu.harness import (
@@ -125,7 +139,8 @@ def spmv_main(argv: Optional[list] = None) -> int:
 
 
 def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
-                   kernel_name="fixpoint", sharded_solve=None, algo=None):
+                   kernel_name="fixpoint", sharded_solve=None, algo=None,
+                   reorderable=True):
     p = _common_parser(description)
     if needs_root:
         p.add_argument("--root", type=int, default=0)
@@ -134,6 +149,10 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
                    help="host-stepped per-iteration timing records "
                         "(the reference's RAW_RESULT-per-iteration mode)")
     args = p.parse_args(argv)
+    if args.reorder and (args.mesh > 1 or args.stepped or not reorderable):
+        p.error("--reorder is only supported on the single-device, "
+                "non-stepped path" if reorderable else
+                f"--reorder is not supported for {kernel_name}")
     coo = _setup(args)
     from sparseharness_tpu.harness import BenchmarkConfig, benchmark_fixpoint
     from sparseharness_tpu.harness.runner import benchmark_fixpoint_stepped
@@ -187,7 +206,8 @@ def sssp_main(argv: Optional[list] = None) -> int:
 
     return _fixpoint_main(
         "SSSP min-plus fixpoint (app/sssp.cpp)",
-        lambda coo, a: sssp(coo, a.root, variant=a.kernel, max_iter=a.max_iter),
+        lambda coo, a: sssp(coo, a.root, variant=a.kernel, max_iter=a.max_iter,
+                            reorder=a.reorder),
         lambda coo, a: sssp_gold(coo, a.root),
         needs_root=True, argv=argv, kernel_name="sssp", algo="sssp",
         sharded_solve=lambda coo, a, m: sharded_sssp(
@@ -203,7 +223,8 @@ def bfs_main(argv: Optional[list] = None) -> int:
 
     return _fixpoint_main(
         "BFS or/and fixpoint (app/bfs.cpp)",
-        lambda coo, a: bfs(coo, a.root, variant=a.kernel, max_iter=a.max_iter),
+        lambda coo, a: bfs(coo, a.root, variant=a.kernel, max_iter=a.max_iter,
+                           reorder=a.reorder),
         lambda coo, a: bfs_reach_gold(coo, a.root),
         needs_root=True, argv=argv, exact=True, kernel_name="bfs", algo="bfs",
         sharded_solve=lambda coo, a, m: sharded_bfs(
@@ -220,7 +241,8 @@ def pr_main(argv: Optional[list] = None) -> int:
     return _fixpoint_main(
         "PageRank power iteration (app/pr.cpp)",
         lambda coo, a: pagerank(coo, variant=a.kernel,
-                                max_iter=a.max_iter or 1000),
+                                max_iter=a.max_iter or 1000,
+                                reorder=a.reorder),
         lambda coo, a: pagerank_gold(coo),
         needs_root=False, argv=argv, kernel_name="pagerank", algo="pagerank",
         sharded_solve=lambda coo, a, m: sharded_pagerank(
@@ -240,6 +262,7 @@ def scc_main(argv: Optional[list] = None) -> int:
         lambda coo, a: _label_propagate(coo, a.kernel, Geometry(), a.max_iter),
         lambda coo, a: scc_labels_gold(coo),
         needs_root=False, argv=argv, exact=True, kernel_name="scc", algo="scc",
+        reorderable=False,  # raw labels are numbering-dependent
         sharded_solve=lambda coo, a, m: sharded_scc_forward(
             coo, mesh=m, max_iter=a.max_iter),
     )
@@ -254,7 +277,8 @@ def eigenvector_main(argv: Optional[list] = None) -> int:
         "Dominant eigenvector power iteration (app/eigenvector.cpp, "
         "implemented for real)",
         lambda coo, a: eigenvector(coo, variant=a.kernel,
-                                   max_iter=a.max_iter or 1000)[0],
+                                   max_iter=a.max_iter or 1000,
+                                   reorder=a.reorder)[0],
         lambda coo, a: None,
         needs_root=False, argv=argv, kernel_name="eigenvector",
         algo="eigenvector",
@@ -270,7 +294,8 @@ def cc_main(argv: Optional[list] = None) -> int:
     return _fixpoint_main(
         "Connected components via min-label propagation (new capability)",
         lambda coo, a: connected_components(coo, variant=a.kernel,
-                                            max_iter=a.max_iter),
+                                            max_iter=a.max_iter,
+                                            reorder=a.reorder),
         lambda coo, a: connected_components_gold(coo),
         needs_root=False, argv=argv, exact=True, kernel_name="cc",
     )
@@ -283,7 +308,8 @@ def widest_path_main(argv: Optional[list] = None) -> int:
     return _fixpoint_main(
         "Widest (bottleneck) path via the max-min semiring (new capability)",
         lambda coo, a: widest_path(coo, a.root, variant=a.kernel,
-                                   max_iter=a.max_iter),
+                                   max_iter=a.max_iter,
+                                   reorder=a.reorder),
         lambda coo, a: widest_path_gold(coo, a.root),
         needs_root=True, argv=argv, exact=True, kernel_name="widest_path",
     )

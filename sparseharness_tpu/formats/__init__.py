@@ -18,3 +18,10 @@ from sparseharness_tpu.formats.preprocess import (  # noqa: F401
     pagerank_normalise,
     scc_normalise,
 )
+from sparseharness_tpu.formats.reorder import (  # noqa: F401
+    bandwidth,
+    inverse_permutation,
+    permute_coo,
+    rcm_permutation,
+    reorder_rcm,
+)

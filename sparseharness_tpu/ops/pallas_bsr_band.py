@@ -14,6 +14,17 @@ only HBM traffic. This is the pure-streaming end of the variant family
 Build detects the structure (window offset c0 and width K from the data)
 and raises NotImplementedError when the matrix doesn't fit (K would exceed
 MAX_WINDOW_BLOCKS), so sweeps fall back to bsr_fused/bsr_ell.
+
+Two execution paths, picked by x's footprint:
+
+- **resident** (x ≤ ~6 MB of VMEM): whole x lives in VMEM, groups are
+  batched ~1 MB of strip traffic per grid step, the window is a dynamic
+  sublane slice — the validated 90%-of-HBM-roofline path;
+- **windowed** (any x): one group per grid step, and the K window blocks
+  arrive as K single-block BlockSpecs whose index maps compute
+  clamp(g + c0) + k — x streams from HBM like the strips do, so there is
+  no VMEM cap on the problem size (x traffic is 1/(bn) of strip traffic,
+  noise on the roofline).
 """
 
 from __future__ import annotations
@@ -31,6 +42,9 @@ from sparseharness_tpu.ops.pallas_bsr import _carrier, _interpret, _np_fold_for
 
 MAX_WINDOW_BLOCKS = 8
 _TARGET_STEP_BYTES = 1024 * 1024
+#: x footprint above which dp switches from VMEM-resident x to streamed
+#: affine windows (HBM x, no size cap)
+X_RESIDENT_BYTES = 6 * 1024 * 1024
 
 
 @jax.tree_util.register_pytree_node_class
@@ -56,10 +70,6 @@ def build_bsr_band(coo: COO, sr: Semiring, bm: int = 8, bn: int = 128,
                    value_dtype: str = "float32") -> BsrBandOperand:
     if bn % bm != 0:
         raise NotImplementedError("bsr_band requires bn % bm == 0")
-    if round_up(max(coo.shape[1], 1), bn) * 4 > 6 * 1024 * 1024:
-        raise NotImplementedError(
-            "bsr_band requires x to fit in VMEM; use bsr_ell for wide matrices"
-        )
     gs = bn // bm  # block-rows per x-block-aligned group
     n, c = coo.shape
     dtype, _, _, _, zero, as_int = _carrier(sr)
@@ -117,13 +127,19 @@ def build_bsr_band(coo: COO, sr: Semiring, bm: int = 8, bn: int = 128,
 
 
 def dp_bsr_band(op: BsrBandOperand, x: jax.Array, sr: Semiring, *,
-                n_rows: int) -> jax.Array:
+                n_rows: int, windowed: bool = None) -> jax.Array:
+    """⊕-reduced row dot-products over the padded row space.
+
+    `windowed=None` picks the path by x's VMEM footprint; tests force each
+    path explicitly to cover both on small shapes.
+    """
     r_rows, bm, kbn = op.strips.shape
     k = op.k_win
     bn = kbn // k
     gs = bn // bm
     dtype, add, mul, reduce_, zero, as_int = _carrier(sr)
-    c_pad = round_up(max(x.shape[0], 1), bn)
+    # windowed path indexes x in whole blocks up to base+k: keep ≥ k blocks
+    c_pad = max(round_up(max(x.shape[0], 1), bn), k * bn)
     c_blocks = c_pad // bn
     x_pad = jnp.pad(
         x.astype(sr.dtype), (0, c_pad - x.shape[0]),
@@ -133,6 +149,10 @@ def dp_bsr_band(op: BsrBandOperand, x: jax.Array, sr: Semiring, *,
     if as_int:
         x2d = x2d.astype(jnp.int32)
     strips = op.strips
+    if windowed is None:
+        windowed = x2d.size * x2d.dtype.itemsize > X_RESIDENT_BYTES
+    if windowed:
+        return _dp_windowed(op, x2d, sr, c_blocks=c_blocks, as_int=as_int)
     upcast = strips.dtype == jnp.bfloat16
 
     # groups per grid step, sized for ~1MB strip traffic per step
@@ -175,6 +195,73 @@ def dp_bsr_band(op: BsrBandOperand, x: jax.Array, sr: Semiring, *,
         out_shape=jax.ShapeDtypeStruct((r_rows, bm), x2d.dtype),
         interpret=_interpret(),
     )(strips, x2d)
+    dp = out.reshape(-1)
+    if as_int:
+        dp = dp > 0
+    return dp
+
+
+def _dp_windowed(op: BsrBandOperand, x2d: jax.Array, sr: Semiring, *,
+                 c_blocks: int, as_int: bool) -> jax.Array:
+    """Streamed-x band SpMV: no VMEM residency requirement on x.
+
+    gps groups per grid step; each group's K window blocks arrive as K
+    single-block BlockSpecs with affine index maps clamp(i·gps + g + c0) + k,
+    so x streams from HBM exactly like the strips. Mosaic needs the
+    last-two block dims to be (8·a, 128·b) or equal to the array dims, so x
+    rides as (c_blocks, 8, bn) with the block replicated across the 8
+    sublanes — an 8× copy of x, which is ≤ 8·gps·K/(gs·bm·K·bn) of the
+    strip bytes per step (noise), and keeps the window fetch a plain block
+    DMA instead of a manual semaphore pipeline. Steps are sized toward the
+    resident path's ~1 MB strip traffic, capped at 32 window specs.
+    """
+    r_rows, bm, kbn = op.strips.shape
+    k = op.k_win
+    bn = kbn // k
+    gs = bn // bm
+    _, add, mul, reduce_, _, _ = _carrier(sr)
+    strips = op.strips
+    upcast = strips.dtype == jnp.bfloat16
+    n_groups = r_rows // gs
+    c0 = op.c0
+    max_base = max(c_blocks - k, 0)
+    x3d = jnp.broadcast_to(x2d[:, None, :], (c_blocks, 8, bn))
+
+    bytes_per_group = gs * bm * kbn * strips.dtype.itemsize
+    gps = max(1, min(_TARGET_STEP_BYTES // max(bytes_per_group, 1),
+                     max(32 // k, 1), n_groups))
+    while n_groups % gps:
+        gps -= 1
+    rg = gps * gs
+
+    def kernel(strip_ref, *refs):
+        xw_refs, out_ref = refs[:-1], refs[-1]
+        for g in range(gps):  # static groups within the step
+            st = strip_ref[g * gs:(g + 1) * gs]  # (gs, bm, K·bn)
+            if upcast:
+                st = st.astype(jnp.float32)
+            acc = None
+            for kk in range(k):  # static slots
+                part = mul(
+                    xw_refs[g * k + kk][0, 0, :][None, None, :],
+                    st[:, :, kk * bn:(kk + 1) * bn],
+                )
+                acc = part if acc is None else add(acc, part)
+            out_ref[g * gs:(g + 1) * gs] = reduce_(acc, axis=-1)  # (gs, bm)
+
+    def _xmap(g, kk):
+        return lambda i: (jnp.clip(i * gps + g + c0, 0, max_base) + kk, 0, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_groups // gps,),
+        in_specs=[pl.BlockSpec((rg, bm, kbn), lambda i: (i, 0, 0))]
+        + [pl.BlockSpec((1, 8, bn), _xmap(g, kk))
+           for g in range(gps) for kk in range(k)],
+        out_specs=pl.BlockSpec((rg, bm), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r_rows, bm), x2d.dtype),
+        interpret=_interpret(),
+    )(strips, *([x3d] * (gps * k)))
     dp = out.reshape(-1)
     if as_int:
         dp = dp > 0

@@ -225,6 +225,44 @@ def test_auto_variant_selection():
     assert check_result(out, gold, delta=1e-4) is Correctness.CORRECT
 
 
+@pytest.mark.parametrize("srname", ["plus_times", "min_plus", "or_and"])
+@pytest.mark.parametrize("make", [
+    lambda: banded_coo(500, 4, seed=11),          # k_win = 1
+    lambda: banded_coo(1200, 130, seed=12),       # k_win > 1, edge clamping
+    lambda: random_coo(96, 700, 400, seed=13),    # wide: window ≪ c_blocks
+])
+def test_bsr_band_windowed_matches_resident_and_gold(srname, make):
+    """The streamed-x path (no VMEM cap) must agree bit-for-bit with the
+    resident path and the gold; both paths share the build/operand."""
+    from sparseharness_tpu.ops import jnp_ops
+    from sparseharness_tpu.ops.pallas_bsr_band import (
+        build_bsr_band, dp_bsr_band,
+    )
+
+    sr = get_semiring(srname)
+    coo = make()
+    if np.dtype(sr.dtype) == np.bool_:
+        coo = coo.with_values((coo.vals != 0).astype(np.bool_))
+    x, y = _xy(sr, coo, seed=14)
+    gold = spmv_gold(coo, x, y, sr)
+    try:
+        op = build_bsr_band(coo, sr)
+    except NotImplementedError as e:
+        pytest.skip(str(e))
+    outs = {}
+    for windowed in (False, True):
+        dp = dp_bsr_band(
+            op, jnp.asarray(x), sr, n_rows=coo.shape[0], windowed=windowed
+        )[: coo.shape[0]]
+        outs[windowed] = np.asarray(
+            jnp_ops.fold_dp(dp, jnp.asarray(y), sr, None, None)
+        )
+        assert check_result(outs[windowed], gold, delta=1e-4) is (
+            Correctness.CORRECT
+        ), (srname, windowed)
+    np.testing.assert_array_equal(outs[False], outs[True])
+
+
 def test_duplicate_entries_fold_consistently():
     """MatrixMarket allows duplicate coordinates; every variant must
     ⊕-fold them like the gold (blocked builders used to overwrite)."""
