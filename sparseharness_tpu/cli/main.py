@@ -149,10 +149,9 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
                    help="host-stepped per-iteration timing records "
                         "(the reference's RAW_RESULT-per-iteration mode)")
     args = p.parse_args(argv)
-    if args.reorder and (args.mesh > 1 or args.stepped or not reorderable):
-        p.error("--reorder is only supported on the single-device, "
-                "non-stepped path" if reorderable else
-                f"--reorder is not supported for {kernel_name}")
+    if args.reorder and (args.stepped or not reorderable):
+        p.error("--reorder is not supported with --stepped" if reorderable
+                else f"--reorder is not supported for {kernel_name}")
     coo = _setup(args)
     from sparseharness_tpu.harness import BenchmarkConfig, benchmark_fixpoint
     from sparseharness_tpu.harness.runner import benchmark_fixpoint_stepped
@@ -211,7 +210,7 @@ def sssp_main(argv: Optional[list] = None) -> int:
         lambda coo, a: sssp_gold(coo, a.root),
         needs_root=True, argv=argv, kernel_name="sssp", algo="sssp",
         sharded_solve=lambda coo, a, m: sharded_sssp(
-            coo, a.root, mesh=m, max_iter=a.max_iter),
+            coo, a.root, mesh=m, max_iter=a.max_iter, reorder=a.reorder),
     )
 
 
@@ -228,7 +227,7 @@ def bfs_main(argv: Optional[list] = None) -> int:
         lambda coo, a: bfs_reach_gold(coo, a.root),
         needs_root=True, argv=argv, exact=True, kernel_name="bfs", algo="bfs",
         sharded_solve=lambda coo, a, m: sharded_bfs(
-            coo, a.root, mesh=m, max_iter=a.max_iter),
+            coo, a.root, mesh=m, max_iter=a.max_iter, reorder=a.reorder),
     )
 
 
@@ -246,7 +245,7 @@ def pr_main(argv: Optional[list] = None) -> int:
         lambda coo, a: pagerank_gold(coo),
         needs_root=False, argv=argv, kernel_name="pagerank", algo="pagerank",
         sharded_solve=lambda coo, a, m: sharded_pagerank(
-            coo, mesh=m, max_iter=a.max_iter or 1000),
+            coo, mesh=m, max_iter=a.max_iter or 1000, reorder=a.reorder),
     )
 
 
@@ -283,7 +282,7 @@ def eigenvector_main(argv: Optional[list] = None) -> int:
         needs_root=False, argv=argv, kernel_name="eigenvector",
         algo="eigenvector",
         sharded_solve=lambda coo, a, m: sharded_eigenvector(
-            coo, mesh=m, max_iter=a.max_iter or 1000),
+            coo, mesh=m, max_iter=a.max_iter or 1000, reorder=a.reorder),
     )
 
 

@@ -342,6 +342,7 @@ def sharded_fixpoint_halo(
     exact: bool = True,
     delta: float = 0.0,
     max_iter: int = 10_000,
+    norm: bool = False,       # L2-normalize x_new globally (eigenvector)
 ) -> ShardedFixpointResult:
     """Fixpoint with per-iteration halo exchange: two ring ppermutes of the
     halo edges replace the all-gather — ICI traffic O(halo) per chip per
@@ -368,7 +369,13 @@ def sharded_fixpoint_halo(
         def step(x_loc):
             window = _halo_window(x_loc, halo, ROWS_AXIS)
             dp = _local_dp(cols, vals, window, sr)
-            return combine(x_loc, dp)
+            x_new = combine(x_loc, dp)
+            if norm:
+                sq = jax.lax.psum(jnp.sum(x_new.astype(jnp.float32) ** 2),
+                                  ROWS_AXIS)
+                nrm = jnp.sqrt(sq)
+                x_new = jnp.where(nrm > 0, x_new / nrm.astype(x_new.dtype), x_new)
+            return x_new
 
         def local_changed(a, b):
             if exact:
@@ -405,51 +412,96 @@ def sharded_fixpoint_halo(
 # ----------------------------------------------------- algorithm wrappers
 
 
+def _build_sharded_auto(coo: COO, sr: Semiring, n_shards: int,
+                        mode: str = "auto"):
+    """(operand, solver): the O(halo)-ICI operand + halo fixpoint when the
+    structure permits neighbour-only exchange, else the all-gather pair.
+
+    mode: "auto" (prefer halo, fall back), "halo" (require it — raises
+    ValueError when the matrix reaches beyond ring neighbours), "gather".
+    Combine with reorder="rcm" on the wrappers: RCM bandwidth reduction is
+    what makes general matrices halo-eligible in the first place."""
+    if mode not in ("auto", "halo", "gather"):
+        raise ValueError(f"unknown sharded mode {mode!r}")
+    if mode in ("auto", "halo"):
+        try:
+            op, _ = build_sharded_ell_halo(coo, sr, n_shards)
+            return op, sharded_fixpoint_halo
+        except ValueError:
+            if mode == "halo":
+                raise
+    op, _ = build_sharded_ell(coo, sr, n_shards)
+    return op, sharded_fixpoint
+
+
+def _sharded_reorder_pre(coo: COO, reorder, root=None):
+    # shared with the single-device apps (algorithms/apps.py); local import
+    # keeps parallel/ free of an apps dependency at module load
+    from sparseharness_tpu.algorithms.apps import _reorder_pre
+
+    return _reorder_pre(coo, reorder, root)
+
+
+def _sharded_unpermute(res: ShardedFixpointResult, inv):
+    if inv is None:
+        return res
+    return dataclasses.replace(res, x=jnp.asarray(np.asarray(res.x)[inv]))
+
+
 def sharded_sssp(coo: COO, root: int, mesh: Optional[Mesh] = None,
-                 max_iter: Optional[int] = None) -> ShardedFixpointResult:
+                 max_iter: Optional[int] = None, mode: str = "auto",
+                 reorder: Optional[str] = None) -> ShardedFixpointResult:
     mesh = mesh or make_mesh()
+    coo, inv, root = _sharded_reorder_pre(coo, reorder, root)
     sr = MIN_PLUS
-    op, _ = build_sharded_ell(coo, sr, mesh.devices.size)
+    op, solver = _build_sharded_auto(coo, sr, mesh.devices.size, mode)
     n = coo.shape[0]
     x0 = np.full(n, FLT_MAX, np.float32)
     x0[root] = 0.0
-    return sharded_fixpoint(
+    res = solver(
         mesh, op, x0, sr, n_rows=n,
         combine=lambda x, dp: jnp.minimum(x, dp),
         exact=True, max_iter=max_iter or n + 1,
     )
+    return _sharded_unpermute(res, inv)
 
 
 def sharded_bfs(coo: COO, root: int, mesh: Optional[Mesh] = None,
-                max_iter: Optional[int] = None) -> ShardedFixpointResult:
+                max_iter: Optional[int] = None, mode: str = "auto",
+                reorder: Optional[str] = None) -> ShardedFixpointResult:
     mesh = mesh or make_mesh()
+    coo, inv, root = _sharded_reorder_pre(coo, reorder, root)
     sr = OR_AND
-    op, _ = build_sharded_ell(coo, sr, mesh.devices.size)
+    op, solver = _build_sharded_auto(coo, sr, mesh.devices.size, mode)
     n = coo.shape[0]
     x0 = np.zeros(n, bool)
     x0[root] = True
-    return sharded_fixpoint(
+    res = solver(
         mesh, op, x0, sr, n_rows=n,
         combine=lambda x, dp: jnp.logical_or(x, dp),
         exact=True, max_iter=max_iter or n + 1,
     )
+    return _sharded_unpermute(res, inv)
 
 
 def sharded_pagerank(coo: COO, damping: float = 0.85,
                      mesh: Optional[Mesh] = None, delta: float = 1e-6,
-                     max_iter: int = 1000) -> ShardedFixpointResult:
+                     max_iter: int = 1000, mode: str = "auto",
+                     reorder: Optional[str] = None) -> ShardedFixpointResult:
     mesh = mesh or make_mesh()
+    coo, inv, _ = _sharded_reorder_pre(coo, reorder)
     sr = PLUS_TIMES
     damped = pagerank_normalise(coo, damping)
-    op, _ = build_sharded_ell(damped, sr, mesh.devices.size)
+    op, solver = _build_sharded_auto(damped, sr, mesh.devices.size, mode)
     n = coo.shape[0]
     x0 = np.full(n, 1.0 / n, np.float32)
     teleport = np.float32((1.0 - damping) / n)
-    return sharded_fixpoint(
+    res = solver(
         mesh, op, x0, sr, n_rows=n,
         combine=lambda x, dp: dp + teleport,
         exact=False, delta=delta, max_iter=max_iter,
     )
+    return _sharded_unpermute(res, inv)
 
 
 def sharded_scc_forward(coo: COO, mesh: Optional[Mesh] = None,
@@ -473,14 +525,17 @@ def sharded_scc_forward(coo: COO, mesh: Optional[Mesh] = None,
 
 def sharded_eigenvector(coo: COO, mesh: Optional[Mesh] = None,
                         delta: float = 1e-6,
-                        max_iter: int = 1000) -> ShardedFixpointResult:
+                        max_iter: int = 1000, mode: str = "auto",
+                        reorder: Optional[str] = None) -> ShardedFixpointResult:
     mesh = mesh or make_mesh()
+    coo, inv, _ = _sharded_reorder_pre(coo, reorder)
     sr = PLUS_TIMES
-    op, _ = build_sharded_ell(coo, sr, mesh.devices.size)
+    op, solver = _build_sharded_auto(coo, sr, mesh.devices.size, mode)
     n = coo.shape[0]
     x0 = np.full(n, 1.0 / np.sqrt(n), np.float32)
-    return sharded_fixpoint(
+    res = solver(
         mesh, op, x0, sr, n_rows=n,
         combine=lambda x, dp: dp,
         exact=False, delta=delta, max_iter=max_iter, norm=True,
     )
+    return _sharded_unpermute(res, inv)

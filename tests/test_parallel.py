@@ -150,3 +150,66 @@ def test_halo_fixpoint_sssp_banded(mesh):
     )
     assert res.converged
     np.testing.assert_allclose(np.asarray(res.x), sssp_gold(coo, 0), rtol=1e-5)
+
+
+def test_sharded_mode_auto_picks_halo_for_banded(mesh):
+    """mode='auto' must route banded structure onto the O(halo)-ICI
+    operand and still match the gold."""
+    from sparseharness_tpu.formats import banded_coo
+    from sparseharness_tpu.parallel.sharded import _build_sharded_auto
+    from sparseharness_tpu.parallel.sharded import (
+        HaloEll, ShardedEll, sharded_fixpoint, sharded_fixpoint_halo,
+    )
+    from sparseharness_tpu.semiring import MIN_PLUS as MP
+
+    band = banded_coo(320, 2, seed=21)
+    band = band.with_values(np.abs(band.vals) + 0.1)
+    op, solver = _build_sharded_auto(band, MP, mesh.devices.size, "auto")
+    assert isinstance(op, HaloEll) and solver is sharded_fixpoint_halo
+    # scattered graph falls back to all-gather
+    g = random_graph_coo(300, 3.0, seed=22)
+    op2, solver2 = _build_sharded_auto(g, MP, mesh.devices.size, "auto")
+    assert isinstance(op2, ShardedEll) and solver2 is sharded_fixpoint
+
+    res = sharded_sssp(band, root=5, mesh=mesh, mode="halo")
+    np.testing.assert_allclose(
+        np.asarray(res.x), sssp_gold(band, 5), rtol=1e-5
+    )
+
+
+def test_sharded_reorder_rcm_enables_halo(mesh):
+    """A shuffled band is halo-ineligible until RCM recovers the band;
+    distances must come back in original numbering either way."""
+    from sparseharness_tpu.formats import banded_coo, permute_coo
+    from sparseharness_tpu.parallel.sharded import _build_sharded_auto
+    from sparseharness_tpu.semiring import MIN_PLUS as MP
+
+    band = banded_coo(320, 2, seed=23)
+    band = band.with_values(np.abs(band.vals) + 0.1)
+    scramble = np.random.default_rng(24).permutation(320).astype(np.int32)
+    shuffled = permute_coo(band, scramble)
+    with pytest.raises(ValueError):
+        _build_sharded_auto(shuffled, MP, mesh.devices.size, "halo")
+
+    gold = sssp_gold(shuffled, 7)
+    for kwargs in ({"reorder": "rcm", "mode": "halo"}, {"reorder": None}):
+        res = sharded_sssp(shuffled, root=7, mesh=mesh, **kwargs)
+        np.testing.assert_allclose(np.asarray(res.x), gold, rtol=1e-5)
+
+
+def test_sharded_eigenvector_halo_norm(mesh):
+    """Global-psum L2 normalization on the halo path (banded operand)."""
+    from sparseharness_tpu.formats import banded_coo
+
+    band = banded_coo(256, 2, seed=25)
+    band = band.with_values(np.abs(band.vals) + 0.5)
+    res = sharded_eigenvector(band, mesh=mesh, mode="halo", max_iter=300)
+    v = np.asarray(res.x)
+    np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-5)
+    # Rayleigh residual: ||A v − λ v|| ≪ λ proves v is (near) the dominant
+    # eigenvector without requiring the slow banded spectrum to fully settle
+    dense = band.to_dense()
+    av = dense @ v
+    lam = float(v @ av)
+    assert lam > 0
+    assert np.linalg.norm(av - lam * v) / lam < 5e-3
