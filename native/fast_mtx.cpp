@@ -9,10 +9,12 @@
 //
 // Build: native/Makefile -> libfastmtx.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -181,6 +183,131 @@ void fastmtx_csr_encode(int64_t nnz, int32_t n_rows, const int32_t *rows,
     out_vals[at] = static_cast<float>(vals[i]);
   }
   free(cursor);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------- RCM
+// Native reverse Cuthill-McKee over a symmetrized, de-duplicated,
+// diagonal-free CSR pattern. Bit-identical ordering to the NumPy
+// reference (formats/reorder.py rcm_permutation): seeds in stable
+// (degree, id) order, George-Liu pseudo-peripheral refinement, and
+// within a BFS level nodes grouped by first-discovering parent and
+// sorted by (degree, id). The traversal is the Python-loop-bound part
+// of RCM; everything around it stays vectorized NumPy.
+
+namespace {
+
+struct BfsScratch {
+  std::vector<int32_t> stamp;   // epoch-stamped "seen" (no per-call memset)
+  std::vector<int32_t> frontier, next;
+  int32_t epoch = 0;
+};
+
+// Level BFS from seed avoiding `visited`; returns eccentricity and sets
+// *cand to the min-(degree, id) node of the deepest level.
+static int32_t bfs_ecc(int32_t seed, const int32_t *indptr,
+                       const int32_t *indices, const int32_t *deg,
+                       const uint8_t *visited, BfsScratch &s,
+                       int32_t *cand) {
+  const int32_t epoch = ++s.epoch;
+  s.frontier.clear();
+  s.frontier.push_back(seed);
+  s.stamp[seed] = epoch;
+  int32_t ecc = 0;
+  for (;;) {
+    s.next.clear();
+    for (int32_t u : s.frontier) {
+      for (int32_t j = indptr[u]; j < indptr[u + 1]; ++j) {
+        int32_t v = indices[j];
+        if (s.stamp[v] == epoch || visited[v]) continue;
+        s.stamp[v] = epoch;
+        s.next.push_back(v);
+      }
+    }
+    if (s.next.empty()) break;
+    s.frontier.swap(s.next);
+    ++ecc;
+  }
+  int32_t best = s.frontier[0];
+  for (int32_t u : s.frontier) {
+    if (deg[u] < deg[best] || (deg[u] == deg[best] && u < best)) best = u;
+  }
+  *cand = best;
+  return ecc;
+}
+
+}  // namespace
+
+extern "C" {
+
+// perm[i] = old index of new row i (new -> old), already reversed.
+void fastmtx_rcm(int32_t n, const int32_t *indptr, const int32_t *indices,
+                 int32_t *perm) {
+  if (n <= 0) return;
+  std::vector<int32_t> deg(n);
+  for (int32_t i = 0; i < n; ++i) deg[i] = indptr[i + 1] - indptr[i];
+
+  // stable counting sort of nodes by degree (np.argsort kind="stable")
+  int32_t max_deg = 0;
+  for (int32_t i = 0; i < n; ++i) max_deg = std::max(max_deg, deg[i]);
+  std::vector<int32_t> count(max_deg + 2, 0), seeds(n);
+  for (int32_t i = 0; i < n; ++i) ++count[deg[i] + 1];
+  for (int32_t d = 0; d <= max_deg; ++d) count[d + 1] += count[d];
+  for (int32_t i = 0; i < n; ++i) seeds[count[deg[i]]++] = i;
+
+  std::vector<uint8_t> visited(n, 0);
+  std::vector<int32_t> order;
+  order.reserve(n);
+  BfsScratch scratch;
+  scratch.stamp.assign(n, 0);
+  std::vector<int32_t> nbrs;
+
+  for (int32_t si = 0; si < n; ++si) {
+    int32_t s = seeds[si];
+    if (visited[s]) continue;
+    if (deg[s] > 0) {
+      // George-Liu: re-seed at the deepest level's min-degree node until
+      // the eccentricity stops growing (<= 4 sweeps) — mirrors the NumPy
+      // _pseudo_peripheral control flow exactly.
+      int32_t cand;
+      int32_t ecc = bfs_ecc(s, indptr, indices, deg.data(), visited.data(),
+                            scratch, &cand);
+      for (int sweep = 0; sweep < 4; ++sweep) {
+        int32_t ecc2 = bfs_ecc(s, indptr, indices, deg.data(),
+                               visited.data(), scratch, &cand);
+        if (ecc2 <= ecc && cand != s && ecc2 < ecc) break;
+        int32_t cand2;
+        int32_t ecc_c = bfs_ecc(cand, indptr, indices, deg.data(),
+                                visited.data(), scratch, &cand2);
+        if (ecc_c <= ecc2) break;
+        s = cand;
+        ecc = ecc_c;
+      }
+    }
+    // Cuthill-McKee from s: queue order == level order grouped by
+    // first-discovering parent; each parent's new neighbours append
+    // sorted by (degree, id).
+    visited[s] = 1;
+    size_t head = order.size();
+    order.push_back(s);
+    while (head < order.size()) {
+      int32_t u = order[head++];
+      nbrs.clear();
+      for (int32_t j = indptr[u]; j < indptr[u + 1]; ++j) {
+        int32_t v = indices[j];
+        if (!visited[v]) {
+          visited[v] = 1;
+          nbrs.push_back(v);
+        }
+      }
+      std::sort(nbrs.begin(), nbrs.end(), [&](int32_t a, int32_t b) {
+        return deg[a] != deg[b] ? deg[a] < deg[b] : a < b;
+      });
+      order.insert(order.end(), nbrs.begin(), nbrs.end());
+    }
+  }
+  for (int32_t i = 0; i < n; ++i) perm[i] = order[n - 1 - i];
 }
 
 }  // extern "C"

@@ -41,16 +41,19 @@ def _load() -> ctypes.CDLL:
         if _tried:
             raise NativeUnavailable("native library previously failed to load")
         _tried = True
-        if not os.path.exists(_LIB_PATH):
-            if not os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
-                raise NativeUnavailable("native sources not present")
+        if os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
+            # always invoke make: a no-op when fresh, and it rebuilds a
+            # stale .so that predates newly added symbols
             try:
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR, "-s"],
                     check=True, capture_output=True, timeout=120,
                 )
             except Exception as e:  # toolchain missing / build failure
-                raise NativeUnavailable(f"native build failed: {e}") from e
+                if not os.path.exists(_LIB_PATH):
+                    raise NativeUnavailable(f"native build failed: {e}") from e
+        elif not os.path.exists(_LIB_PATH):
+            raise NativeUnavailable("native sources not present")
         lib = ctypes.CDLL(_LIB_PATH)
         lib.fastmtx_parse.restype = ctypes.c_int64
         lib.fastmtx_parse.argtypes = [
@@ -65,6 +68,12 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.fastmtx_rcm.restype = None
+        lib.fastmtx_rcm.argtypes = [
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
         ]
         _lib = lib
         return lib
@@ -142,3 +151,24 @@ def csr_encode(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
         out_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return indptr, out_cols, out_vals
+
+
+def rcm(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Native reverse Cuthill-McKee over a symmetrized CSR pattern —
+    bit-identical ordering to the NumPy reference (formats/reorder.py).
+    Raises NativeUnavailable when the library (or a 32-bit-indexable
+    pattern) is not available; callers fall back to NumPy."""
+    lib = _load()
+    n = len(indptr) - 1
+    if len(indices) >= 2**31 or n >= 2**31:
+        raise NativeUnavailable("pattern too large for int32 indexing")
+    indptr32 = np.ascontiguousarray(indptr, np.int32)
+    indices32 = np.ascontiguousarray(indices, np.int32)
+    perm = np.empty(max(n, 1), np.int32)
+    lib.fastmtx_rcm(
+        n,
+        indptr32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        indices32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return perm[:n]

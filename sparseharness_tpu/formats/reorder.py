@@ -120,16 +120,30 @@ def _pseudo_peripheral(seed, indptr, indices, deg, visited) -> int:
     return int(seed)
 
 
-def rcm_permutation(coo: COO) -> np.ndarray:
+def rcm_permutation(coo: COO, use_native: bool = True) -> np.ndarray:
     """Reverse Cuthill-McKee ordering; returns ``perm`` (new → old) for
     :func:`permute_coo`. Components are processed smallest-degree-seed
-    first; within a BFS level, nodes order by (parent rank, degree, id)."""
+    first; within a BFS level, nodes order by (parent rank, degree, id).
+
+    The traversal runs in the native library when available
+    (native/fast_mtx.cpp fastmtx_rcm — bit-identical ordering, no
+    per-BFS-level Python loop); this NumPy body is the behavioural
+    reference and fallback (SPARSEHARNESS_TPU_NATIVE=0 forces it)."""
+    import os
+
     n = coo.shape[0]
     if coo.shape[0] != coo.shape[1]:
         raise ValueError("rcm requires a square matrix")
     if n == 0:
         return np.empty(0, np.int32)
     indptr, indices, deg = _sym_pattern_csr(coo)
+    if use_native and os.environ.get("SPARSEHARNESS_TPU_NATIVE", "1") != "0":
+        try:
+            from sparseharness_tpu.formats import native_io
+
+            return native_io.rcm(indptr, indices)
+        except Exception:
+            pass  # fall through to the NumPy reference path
     visited = np.zeros(n, bool)
     order = np.empty(n, np.int64)
     pos = 0

@@ -89,3 +89,30 @@ def test_truncated_file_rejected(tmp_path):
     h = read_mtx_header(str(p))
     with pytest.raises(ValueError):
         native_io.parse_entries(str(p), h)
+
+
+def test_native_rcm_matches_numpy_exactly():
+    """fastmtx_rcm mirrors the NumPy CM ordering bit-for-bit: same seeds
+    (stable degree order), same pseudo-peripheral refinement, same
+    (parent-rank, degree, id) level ordering."""
+    from sparseharness_tpu.formats import (
+        banded_coo, permute_coo, power_law_coo, random_coo,
+    )
+    from sparseharness_tpu.formats.reorder import (
+        _sym_pattern_csr, rcm_permutation,
+    )
+    from sparseharness_tpu.formats import native_io
+
+    rng = np.random.default_rng(0)
+    cases = [
+        random_coo(173, 173, 900, seed=1),
+        power_law_coo(500, 4000, seed=2),
+        banded_coo(400, 3, seed=3),
+        permute_coo(banded_coo(256, 2, seed=4),
+                    rng.permutation(256).astype(np.int32)),
+    ]
+    for i, coo in enumerate(cases):
+        np_perm = rcm_permutation(coo, use_native=False)
+        indptr, indices, _ = _sym_pattern_csr(coo)
+        nat_perm = native_io.rcm(indptr, indices)
+        np.testing.assert_array_equal(nat_perm, np_perm), i
