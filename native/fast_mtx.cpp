@@ -241,6 +241,48 @@ static int32_t bfs_ecc(int32_t seed, const int32_t *indptr,
 
 extern "C" {
 
+// Symmetrized, de-duplicated, diagonal-free CSR pattern from COO edges:
+// the RCM preprocessing step (NumPy reference: reorder._sym_pattern_csr).
+// indices_out must have room for 2*nnz entries; returns the symmetrized
+// count, or -1 on allocation failure. Counting-sort by row then per-row
+// sort+unique — O(nnz log deg) instead of one global O(nnz log nnz) sort.
+int64_t fastmtx_sym_pattern(int32_t n, int64_t nnz, const int32_t *rows,
+                            const int32_t *cols, int32_t *indptr_out,
+                            int32_t *indices_out) try {
+  std::vector<int64_t> count(static_cast<size_t>(n) + 1, 0);
+  for (int64_t i = 0; i < nnz; ++i) {
+    if (rows[i] == cols[i]) continue;
+    ++count[rows[i] + 1];
+    ++count[cols[i] + 1];
+  }
+  for (int32_t r = 0; r < n; ++r) count[r + 1] += count[r];
+  std::vector<int64_t> cursor(count.begin(), count.end() - 1);
+  std::vector<int32_t> scratch(count[n]);
+  for (int64_t i = 0; i < nnz; ++i) {
+    if (rows[i] == cols[i]) continue;
+    scratch[cursor[rows[i]]++] = cols[i];
+    scratch[cursor[cols[i]]++] = rows[i];
+  }
+  int64_t out = 0;
+  indptr_out[0] = 0;
+  for (int32_t r = 0; r < n; ++r) {
+    int32_t *b = scratch.data() + count[r];
+    int32_t *e = scratch.data() + count[r + 1];
+    std::sort(b, e);
+    int32_t prev = -1;
+    for (int32_t *p = b; p < e; ++p) {
+      if (*p != prev) {
+        indices_out[out++] = *p;
+        prev = *p;
+      }
+    }
+    indptr_out[r + 1] = static_cast<int32_t>(out);
+  }
+  return out;
+} catch (...) {
+  return -1;
+}
+
 // perm[i] = old index of new row i (new -> old), already reversed.
 void fastmtx_rcm(int32_t n, const int32_t *indptr, const int32_t *indices,
                  int32_t *perm) {

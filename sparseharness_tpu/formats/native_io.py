@@ -75,6 +75,12 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.fastmtx_sym_pattern.restype = ctypes.c_int64
+        lib.fastmtx_sym_pattern.argtypes = [
+            ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return lib
 
@@ -172,3 +178,33 @@ def rcm(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
         perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return perm[:n]
+
+
+def sym_pattern(n: int, rows: np.ndarray,
+                cols: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(indptr, indices) of the symmetrized, de-duplicated, diagonal-free
+    pattern — native counterpart of reorder._sym_pattern_csr."""
+    lib = _load()
+    nnz = len(rows)
+    if n >= 2**31 or 2 * nnz >= 2**31:
+        raise NativeUnavailable("pattern too large for int32 indexing")
+    rows32 = np.ascontiguousarray(rows, np.int32)
+    cols32 = np.ascontiguousarray(cols, np.int32)
+    indptr = np.empty(n + 1, np.int32)
+    indices = np.empty(max(2 * nnz, 1), np.int32)
+    got = lib.fastmtx_sym_pattern(
+        n, nnz,
+        rows32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if got < 0:
+        raise NativeUnavailable("sym_pattern allocation failure")
+    return indptr, indices[:got].copy()
+
+
+def rcm_from_coo(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """Whole-RCM fast path: native symmetrization + native traversal."""
+    indptr, indices = sym_pattern(n, rows, cols)
+    return rcm(indptr, indices)

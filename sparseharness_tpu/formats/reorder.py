@@ -136,14 +136,14 @@ def rcm_permutation(coo: COO, use_native: bool = True) -> np.ndarray:
         raise ValueError("rcm requires a square matrix")
     if n == 0:
         return np.empty(0, np.int32)
-    indptr, indices, deg = _sym_pattern_csr(coo)
     if use_native and os.environ.get("SPARSEHARNESS_TPU_NATIVE", "1") != "0":
         try:
             from sparseharness_tpu.formats import native_io
 
-            return native_io.rcm(indptr, indices)
+            return native_io.rcm_from_coo(n, coo.rows, coo.cols)
         except Exception:
             pass  # fall through to the NumPy reference path
+    indptr, indices, deg = _sym_pattern_csr(coo)
     visited = np.zeros(n, bool)
     order = np.empty(n, np.int64)
     pos = 0

@@ -116,3 +116,21 @@ def test_native_rcm_matches_numpy_exactly():
         indptr, indices, _ = _sym_pattern_csr(coo)
         nat_perm = native_io.rcm(indptr, indices)
         np.testing.assert_array_equal(nat_perm, np_perm), i
+
+
+def test_native_sym_pattern_matches_numpy():
+    from sparseharness_tpu.formats import coo_from_arrays, random_coo
+    from sparseharness_tpu.formats.reorder import _sym_pattern_csr
+
+    cases = [
+        random_coo(200, 200, 1500, seed=5),
+        # dup edges + self loops + isolated nodes
+        coo_from_arrays([0, 0, 5, 6, 3], [5, 5, 0, 6, 3],
+                        np.ones(5, np.float32), (9, 9)),
+    ]
+    for coo in cases:
+        indptr, indices, _ = _sym_pattern_csr(coo)
+        nat_indptr, nat_indices = native_io.sym_pattern(
+            coo.shape[0], coo.rows, coo.cols)
+        np.testing.assert_array_equal(nat_indptr, indptr)
+        np.testing.assert_array_equal(nat_indices, indices)
