@@ -138,12 +138,19 @@ def spmv_main(argv: Optional[list] = None) -> int:
     return 0 if res.correctness.value in ("correct", "not_checked") else 1
 
 
+def _roots_list(args) -> list:
+    return [int(r) for r in args.roots.split(",") if r.strip() != ""]
+
+
 def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
                    kernel_name="fixpoint", sharded_solve=None, algo=None,
-                   reorderable=True):
+                   reorderable=True, supports_roots=False):
     p = _common_parser(description)
     if needs_root:
         p.add_argument("--root", type=int, default=0)
+        p.add_argument("--roots", default=None,
+                       help="comma-separated roots: solve all sources in "
+                            "one SpMM-batched fixpoint (sssp/bfs only)")
     p.add_argument("--max-iter", type=int, default=None)
     p.add_argument("--stepped", action="store_true",
                    help="host-stepped per-iteration timing records "
@@ -152,6 +159,11 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
     if args.reorder and (args.stepped or not reorderable):
         p.error("--reorder is not supported with --stepped" if reorderable
                 else f"--reorder is not supported for {kernel_name}")
+    if getattr(args, "roots", None):
+        if not supports_roots:
+            p.error(f"--roots is not supported for {kernel_name}")
+        if args.mesh > 1 or args.stepped:
+            p.error("--roots is not supported with --mesh/--stepped")
     coo = _setup(args)
     from sparseharness_tpu.harness import BenchmarkConfig, benchmark_fixpoint
     from sparseharness_tpu.harness.runner import benchmark_fixpoint_stepped
@@ -198,34 +210,61 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
 
 
 def sssp_main(argv: Optional[list] = None) -> int:
-    from sparseharness_tpu.algorithms import sssp
+    from sparseharness_tpu.algorithms import multi_sssp, sssp
     from sparseharness_tpu.gold import sssp_gold
 
     from sparseharness_tpu.parallel import sharded_sssp
 
+    def _solve(coo, a):
+        if a.roots:
+            return multi_sssp(coo, _roots_list(a), variant=a.kernel,
+                              max_iter=a.max_iter, reorder=a.reorder)
+        return sssp(coo, a.root, variant=a.kernel, max_iter=a.max_iter,
+                    reorder=a.reorder)
+
+    def _gold(coo, a):
+        if a.roots:
+            return np.stack([sssp_gold(coo, r) for r in _roots_list(a)],
+                            axis=1)
+        return sssp_gold(coo, a.root)
+
     return _fixpoint_main(
-        "SSSP min-plus fixpoint (app/sssp.cpp)",
-        lambda coo, a: sssp(coo, a.root, variant=a.kernel, max_iter=a.max_iter,
-                            reorder=a.reorder),
-        lambda coo, a: sssp_gold(coo, a.root),
+        "SSSP min-plus fixpoint (app/sssp.cpp); --roots batches sources "
+        "into one SpMM fixpoint",
+        _solve,
+        _gold,
         needs_root=True, argv=argv, kernel_name="sssp", algo="sssp",
+        supports_roots=True,
         sharded_solve=lambda coo, a, m: sharded_sssp(
             coo, a.root, mesh=m, max_iter=a.max_iter, reorder=a.reorder),
     )
 
 
 def bfs_main(argv: Optional[list] = None) -> int:
-    from sparseharness_tpu.algorithms import bfs
+    from sparseharness_tpu.algorithms import bfs, multi_bfs
     from sparseharness_tpu.gold import bfs_reach_gold
 
     from sparseharness_tpu.parallel import sharded_bfs
 
+    def _solve(coo, a):
+        if a.roots:
+            return multi_bfs(coo, _roots_list(a), variant=a.kernel,
+                             max_iter=a.max_iter, reorder=a.reorder)
+        return bfs(coo, a.root, variant=a.kernel, max_iter=a.max_iter,
+                   reorder=a.reorder)
+
+    def _gold(coo, a):
+        if a.roots:
+            return np.stack([bfs_reach_gold(coo, r) for r in _roots_list(a)],
+                            axis=1)
+        return bfs_reach_gold(coo, a.root)
+
     return _fixpoint_main(
-        "BFS or/and fixpoint (app/bfs.cpp)",
-        lambda coo, a: bfs(coo, a.root, variant=a.kernel, max_iter=a.max_iter,
-                           reorder=a.reorder),
-        lambda coo, a: bfs_reach_gold(coo, a.root),
+        "BFS or/and fixpoint (app/bfs.cpp); --roots batches sources",
+        _solve,
+        _gold,
         needs_root=True, argv=argv, exact=True, kernel_name="bfs", algo="bfs",
+        supports_roots=True,
         sharded_solve=lambda coo, a, m: sharded_bfs(
             coo, a.root, mesh=m, max_iter=a.max_iter, reorder=a.reorder),
     )

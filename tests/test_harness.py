@@ -178,3 +178,19 @@ def test_benchmark_fixpoint_stepped_records():
     assert len(sums) == 2 and len(raws) >= 2
     assert res.correctness is Correctness.CORRECT
     assert res.iterations >= 1
+
+
+def test_cli_multi_roots(tmp_path):
+    """--roots batches sources into one SpMM fixpoint; gold is the stacked
+    per-root single-source gold."""
+    import numpy as np
+    from sparseharness_tpu.cli.main import bfs_main, sssp_main
+    from sparseharness_tpu.formats import random_graph_coo, write_mtx
+
+    coo = random_graph_coo(60, 3.0, seed=31)
+    coo = coo.with_values(np.abs(coo.vals) + 0.1)
+    p = str(tmp_path / "g.mtx")
+    write_mtx(p, coo)
+    assert sssp_main(["-m", p, "--roots", "0,5,9", "-n", "1"]) == 0
+    assert bfs_main(["-m", p, "--roots", "0,5", "-n", "1",
+                     "-k", "bsr_ell"]) == 0
