@@ -96,6 +96,20 @@ def build_bsr(
         COO(coo.rows, coo.cols, np.asarray(vals), coo.shape),
         _np_fold_for(sr, as_int),
     )
+    if folded.nnz:
+        # refuse pathological scatter (≈1 nnz per dense tile) before any
+        # large allocation; see pallas_bsr_ell._guard_tile_blowup
+        c_blocks = max((folded.shape[1] + bn - 1) // bn, 1)
+        ntiles = len(np.unique(
+            (folded.rows // bm).astype(np.int64) * c_blocks
+            + folded.cols // bn
+        ))
+        tile_bytes = ntiles * bm * bn * 4
+        if tile_bytes > max(32 * folded.nnz * 8, 1 << 30):
+            raise NotImplementedError(
+                f"BSR tile blowup: {tile_bytes / 1e9:.1f} GB of tiles for "
+                f"{folded.nnz} nonzeros; use ell/coo_seg or reorder ('rcm')"
+            )
     bsr = bsr_from_coo(folded, bm, bn, zero=zero)
     n_block_rows = bsr.padded_shape[0] // bm
 

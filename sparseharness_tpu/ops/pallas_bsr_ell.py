@@ -57,6 +57,37 @@ def _rows_per_step(k: int, bm: int, bn: int, itemsize: int = 4) -> int:
     return int(max(8, min(512, round_up(max(rg, 1), 8))))
 
 
+#: padded-tile bytes may exceed the raw nnz bytes by at most this factor
+#: (beyond it, the layout is pathological for the matrix — scattered
+#: structure with huge K — and the build refuses so variant="auto" falls
+#: through to an index-based layout instead of OOMing the host)
+MAX_PAD_BLOWUP = 32
+_MIN_GUARD_BYTES = 1 << 30  # never refuse operands under 1 GiB
+
+
+def _guard_tile_blowup(folded: COO, bm: int, bn: int) -> None:
+    """Estimate the padded ELL-of-tiles footprint from distinct (block-row,
+    block-col) pairs BEFORE materializing any tile array."""
+    if folded.nnz == 0:
+        return
+    c_blocks = max(round_up(folded.shape[1], bn) // bn, 1)
+    keys = (folded.rows // bm).astype(np.int64) * c_blocks + folded.cols // bn
+    keys = np.unique(keys)
+    n_block_rows = round_up(folded.shape[0], bm) // bm
+    counts = np.bincount((keys // c_blocks).astype(np.int64),
+                         minlength=n_block_rows)
+    k = int(counts.max())
+    padded_bytes = n_block_rows * k * bm * bn * 4
+    nnz_bytes = folded.nnz * 8  # value + index, the raw-COO floor
+    if padded_bytes > max(MAX_PAD_BLOWUP * nnz_bytes, _MIN_GUARD_BYTES):
+        raise NotImplementedError(
+            f"ELL-of-tiles padding blowup: {padded_bytes / 1e9:.1f} GB of "
+            f"tiles for {nnz_bytes / 1e9:.2f} GB of nonzeros (K={k}); "
+            "structure too scattered for blocked layouts — use ell/coo_seg "
+            "or reorder ('rcm') first"
+        )
+
+
 def build_bsr_ell(coo: COO, sr: Semiring, bm: int = 8, bn: int = 128,
                   value_dtype: str = "float32") -> BsrEllOperand:
     dtype, _, _, _, zero, as_int = _carrier(sr)
@@ -67,6 +98,7 @@ def build_bsr_ell(coo: COO, sr: Semiring, bm: int = 8, bn: int = 128,
         COO(coo.rows, coo.cols, np.asarray(vals), coo.shape),
         _np_fold_for(sr, as_int),
     )
+    _guard_tile_blowup(folded, bm, bn)
     bsr = bsr_from_coo(folded, bm, bn, zero=zero)
     n_block_rows = bsr.padded_shape[0] // bm
     counts = np.bincount(bsr.tile_rows, minlength=n_block_rows)

@@ -284,3 +284,22 @@ def test_duplicate_entries_fold_consistently():
             )
             assert check_result(out, gold, delta=1e-5) is Correctness.CORRECT, (
                 srname, variant)
+
+
+def test_blocked_builders_refuse_pathological_scatter():
+    """A shuffled band (~1 nnz per dense tile) must make the blocked
+    builders raise instead of allocating hundreds of GB of padded tiles;
+    variant='auto' then lands on an index-based layout."""
+    from sparseharness_tpu.formats import banded_coo, permute_coo
+    from sparseharness_tpu.ops import build_operand_auto
+
+    n = 1 << 16
+    band = banded_coo(n, 63, seed=31)
+    scramble = np.random.default_rng(32).permutation(n).astype(np.int32)
+    shuffled = permute_coo(band, scramble)
+    sr = get_semiring("plus_times")
+    for variant in ("bsr_ell", "bsr_fused", "bsr_pallas"):
+        with pytest.raises(NotImplementedError):
+            build_operand(shuffled, sr, variant)
+    name, _ = build_operand_auto(shuffled, sr)
+    assert name == "ell"
