@@ -125,6 +125,11 @@ def spmv_main(argv: Optional[list] = None) -> int:
         return 0
 
     prob = make_spmv_problem(coo, sr=PLUS_TIMES, variant=args.kernel)
+    if (args.kernel == "auto" and not args.reorder
+            and prob.variant in ("ell", "coo_seg")):
+        print(f"note: structure too scattered for blocked kernels "
+              f"(auto picked {prob.variant}); --reorder rcm usually "
+              f"recovers the banded fast path")
     gold = scale = None
     if not args.no_gold:
         gold = spmv_gold(coo, np.asarray(prob.x0), np.asarray(prob.y), PLUS_TIMES)

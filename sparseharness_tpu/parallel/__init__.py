@@ -8,6 +8,7 @@ from sparseharness_tpu.parallel.sharded import (  # noqa: F401
     build_sharded_ell_halo,
     sharded_spmv_halo,
     sharded_fixpoint_halo,
+    sharded_fixpoint_checkpointed,
     build_sharded_ell,
     sharded_spmv,
     sharded_fixpoint,

@@ -409,6 +409,56 @@ def sharded_fixpoint_halo(
     )
 
 
+def sharded_fixpoint_checkpointed(
+    solver: Callable,
+    mesh: Mesh,
+    op,
+    x0: np.ndarray,
+    sr: Semiring,
+    *,
+    n_rows: int,
+    combine: Callable,
+    ckpt_path: str,
+    every: int = 100,
+    exact: bool = True,
+    delta: float = 0.0,
+    max_iter: int = 10_000,
+    **solver_kw,
+) -> ShardedFixpointResult:
+    """Durable long multi-chip solves: run ``solver`` (sharded_fixpoint or
+    sharded_fixpoint_halo) in ``every``-iteration chunks, writing (x, total
+    iterations) to ``ckpt_path`` after each chunk (atomic rename) and
+    resuming from an existing checkpoint on restart — the sharded
+    counterpart of algorithms.fixpoint.run_fixpoint_checkpointed, per
+    SURVEY §5's 'checkpointing is for long multi-host solves'."""
+    import os
+
+    if not ckpt_path.endswith(".npz"):
+        ckpt_path += ".npz"
+    x = np.asarray(x0)
+    total = 0
+    if os.path.exists(ckpt_path):
+        data = np.load(ckpt_path)
+        x = data["x"][:len(x0)]
+        total = int(data["iteration"])
+    converged = False
+    while total < max_iter and not converged:
+        res = solver(
+            mesh, op, x, sr, n_rows=n_rows, combine=combine, exact=exact,
+            delta=delta, max_iter=min(every, max_iter - total), **solver_kw,
+        )
+        x = np.asarray(res.x)
+        total += res.iterations
+        converged = res.converged
+        tmp = ckpt_path[:-4] + ".tmp.npz"
+        with open(tmp, "wb") as f:
+            np.savez(f, x=x, iteration=total)
+        os.replace(tmp, ckpt_path)
+    return ShardedFixpointResult(
+        x=jnp.asarray(x), iterations=total, converged=converged,
+    )
+
+
 # ----------------------------------------------------- algorithm wrappers
 
 

@@ -213,3 +213,40 @@ def test_sharded_eigenvector_halo_norm(mesh):
     lam = float(v @ av)
     assert lam > 0
     assert np.linalg.norm(av - lam * v) / lam < 5e-3
+
+
+def test_sharded_fixpoint_checkpointed_resumes(mesh, tmp_path):
+    """Chunked sharded solve writes durable progress and resumes from it;
+    final distances match the uninterrupted solve."""
+    from sparseharness_tpu.formats import banded_coo
+    from sparseharness_tpu.parallel.sharded import (
+        build_sharded_ell, sharded_fixpoint, sharded_fixpoint_checkpointed,
+    )
+    from sparseharness_tpu.semiring import MIN_PLUS as MP
+    import jax.numpy as jnp
+    import numpy as np_
+
+    band = banded_coo(160, 2, seed=41)
+    band = band.with_values(np.abs(band.vals) + 0.1)
+    op, _ = build_sharded_ell(band, MP, mesh.devices.size)
+    n = band.shape[0]
+    x0 = np_.full(n, np.finfo(np.float32).max, np.float32)
+    x0[3] = 0.0
+    combine = lambda x, dp: jnp.minimum(x, dp)
+    ckpt = str(tmp_path / "solve")
+
+    # run a few chunks, "crash", then resume from the checkpoint
+    partial = sharded_fixpoint_checkpointed(
+        sharded_fixpoint, mesh, op, x0, MP, n_rows=n, combine=combine,
+        ckpt_path=ckpt, every=3, max_iter=6)
+    assert not partial.converged and partial.iterations == 6
+    resumed = sharded_fixpoint_checkpointed(
+        sharded_fixpoint, mesh, op, x0, MP, n_rows=n, combine=combine,
+        ckpt_path=ckpt, every=50, max_iter=10_000)
+    assert resumed.converged and resumed.iterations > 6
+
+    direct = sharded_fixpoint(
+        mesh, op, x0, MP, n_rows=n, combine=combine, exact=True,
+        max_iter=10_000)
+    np_.testing.assert_array_equal(np_.asarray(resumed.x),
+                                   np_.asarray(direct.x))
