@@ -40,7 +40,7 @@ def spmm(
     from sparseharness_tpu.ops.pallas_bsr_ell import BsrEllOperand
     from sparseharness_tpu.ops.pallas_bsr_fused import BsrFusedOperand
     from sparseharness_tpu.ops.spmm_tiles import (
-        spmm_bsr_ell, ell_operand_from_fused,
+        spmm_bsr_ell, ell_operand_from_band, ell_operand_from_fused,
     )
 
     if (
@@ -57,6 +57,10 @@ def spmm(
         tile_op = operand
     elif isinstance(operand, BsrFusedOperand):
         tile_op = ell_operand_from_fused(operand)
+    elif isinstance(operand, BsrBandOperand):
+        # non-plus_times (or folded) band SpMM: affine columns materialize
+        # into the tile layout; A still streams once per column tile
+        tile_op = ell_operand_from_band(operand)
     if tile_op is not None:
         dp = spmm_bsr_ell(tile_op, x_block, sr, n_rows=n_rows)
         return fold_dp(dp, y_block, sr, alpha, beta)

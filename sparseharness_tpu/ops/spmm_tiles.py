@@ -198,6 +198,24 @@ def spmm_bsr_ell(
     return dp
 
 
+def ell_operand_from_band(op) -> BsrEllOperand:
+    """View a BsrBandOperand as strip tiles with materialized affine
+    columns (tile_cols[r, k] = clamp(group(r) + c0) + k), so non-plus_times
+    SpMM on banded operands rides the tile kernel instead of a per-column
+    SpMV map. Slots clamped past the matrix edge hold ⊕-identity pads, so
+    clipping their column into range is harmless."""
+    r_rows, bm, kbn = op.strips.shape
+    k = op.k_win
+    bn = kbn // k
+    gs = bn // bm
+    c_blocks = round_up(max(op.n_cols, 1), bn) // bn
+    base = np.clip(np.arange(r_rows) // gs + op.c0, 0, max(c_blocks - k, 0))
+    cols = np.clip(base[:, None] + np.arange(k)[None, :], 0, c_blocks - 1)
+    return BsrEllOperand(
+        tiles=op.strips, tile_cols=jnp.asarray(cols.astype(np.int32))
+    )
+
+
 def ell_operand_from_fused(op) -> BsrEllOperand:
     """Unstack a BsrFusedOperand's slabs back to the flat strip layout so
     the SpMM kernel can consume operands built for the fused SpMV variant."""

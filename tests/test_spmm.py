@@ -178,3 +178,60 @@ def test_multi_sssp_validates_roots():
         multi_sssp(coo, [0, 99])
     with pytest.raises(ValueError):
         multi_sssp(coo, [])
+
+
+@pytest.mark.parametrize("srname", ["min_plus", "or_and", "max_min"])
+def test_spmm_band_operand_non_plus_times(srname):
+    """Band operands route through the tile SpMM (affine tile_cols) for
+    non-plus_times semirings instead of a per-column SpMV map."""
+    from sparseharness_tpu.formats import banded_coo
+    from sparseharness_tpu.gold import spmv_gold
+    from sparseharness_tpu.ops import build_operand
+    from sparseharness_tpu.semiring import get_semiring
+
+    sr = get_semiring(srname)
+    coo = banded_coo(300, 5, seed=51)
+    if np.dtype(sr.dtype) == np.bool_:
+        coo = coo.with_values((coo.vals != 0).astype(np.bool_))
+    else:
+        coo = coo.with_values(np.abs(coo.vals).astype(np.float32) + 0.1)
+    rng = np.random.default_rng(52)
+    m = 9
+    if np.dtype(sr.dtype) == np.bool_:
+        X = rng.random((coo.shape[1], m)) < 0.3
+    else:
+        X = rng.uniform(0.1, 1.0, (coo.shape[1], m)).astype(np.float32)
+    op = build_operand(coo, sr, "bsr_band")
+    out = np.asarray(
+        spmm(op, jnp.asarray(X), sr=sr, variant="bsr_band",
+             n_rows=coo.shape[0])
+    )
+    gold = np.stack(
+        [spmv_gold(coo, X[:, j], np.full(coo.shape[0], sr.zero, sr.dtype), sr)
+         for j in range(m)], axis=1)
+    from sparseharness_tpu.gold import check_result, Correctness
+    assert check_result(out, gold, delta=1e-4) is Correctness.CORRECT
+
+
+def test_spmm_band_edge_window_wider_than_matrix():
+    """k_win > c_blocks: clipped tile columns must stay in range and pads
+    must vanish under the reduction."""
+    from sparseharness_tpu.formats import banded_coo
+    from sparseharness_tpu.gold import spmv_gold, check_result, Correctness
+    from sparseharness_tpu.ops import build_operand
+    from sparseharness_tpu.semiring import get_semiring
+
+    sr = get_semiring("min_plus")
+    coo = banded_coo(96, 40, seed=53)  # one x block, wide-ish window
+    coo = coo.with_values(np.abs(coo.vals).astype(np.float32) + 0.1)
+    rng = np.random.default_rng(54)
+    X = rng.uniform(0.1, 1.0, (coo.shape[1], 3)).astype(np.float32)
+    op = build_operand(coo, sr, "bsr_band")
+    out = np.asarray(
+        spmm(op, jnp.asarray(X), sr=sr, variant="bsr_band",
+             n_rows=coo.shape[0])
+    )
+    gold = np.stack(
+        [spmv_gold(coo, X[:, j], np.full(coo.shape[0], sr.zero, np.float32),
+                   sr) for j in range(3)], axis=1)
+    assert check_result(out, gold, delta=1e-5) is Correctness.CORRECT
