@@ -161,12 +161,15 @@ def spmv_once(problem: Problem) -> jax.Array:
 class FixpointComponents:
     """(step, x0, convergence, limit) — the pieces each app hands the shared
     driver; exposed so the harness can also drive them one host-stepped
-    iteration at a time (per-iteration RAW_RESULT rows, app/sssp.cpp:122)."""
+    iteration at a time (per-iteration RAW_RESULT rows, app/sssp.cpp:122).
+    ``unpermute``, when set, maps a final x back to original numbering
+    (solves built with reorder="rcm")."""
 
     step: Any
     x0: jax.Array
     convergence: Any
     limit: int
+    unpermute: Any = None
 
 
 def fixpoint_components(
@@ -178,11 +181,18 @@ def fixpoint_components(
     delta: Optional[float] = None,
     max_iter: Optional[int] = None,
     damping: float = 0.85,
+    reorder: Optional[str] = None,
 ) -> FixpointComponents:
     """Build the (step, x0, convergence, limit) quadruple for an algorithm."""
     _require_square(coo)
     if algo in ("sssp", "bfs"):
         _require_root(coo, root)
+    if reorder and algo == "scc":
+        raise ValueError("reorder is numbering-dependent for raw scc labels")
+    coo, inv, root = _reorder_pre(coo, reorder, root)
+    unpermute = (
+        None if inv is None else (lambda x: np.asarray(x)[inv])
+    )
     n = coo.shape[0]
     if algo == "sssp":
         sr = MIN_PLUS
@@ -197,7 +207,7 @@ def fixpoint_components(
             dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
             return sr.add(x, dp)
 
-        return FixpointComponents(step, x0, conv, limit)
+        return FixpointComponents(step, x0, conv, limit, unpermute)
     if algo == "bfs":
         sr = OR_AND
         variant, operand = _build(coo, sr, variant, geometry)
@@ -208,7 +218,7 @@ def fixpoint_components(
             dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
             return jnp.logical_or(x, dp)
 
-        return FixpointComponents(step, x0, exact_converged, limit)
+        return FixpointComponents(step, x0, exact_converged, limit, unpermute)
     if algo == "pagerank":
         sr = PLUS_TIMES
         damped = pagerank_normalise(coo, damping)
@@ -222,7 +232,7 @@ def fixpoint_components(
 
         return FixpointComponents(
             step, x0, delta_converged(delta if delta else 1e-6),
-            max_iter if max_iter is not None else 1000,
+            max_iter if max_iter is not None else 1000, unpermute,
         )
     if algo == "scc":
         sr = MAX_RIGHT
@@ -235,7 +245,7 @@ def fixpoint_components(
             dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
             return jnp.maximum(x, dp)
 
-        return FixpointComponents(step, x0, exact_converged, limit)
+        return FixpointComponents(step, x0, exact_converged, limit, unpermute)
     if algo == "eigenvector":
         sr = PLUS_TIMES
         variant, operand = _build(coo, sr, variant, geometry)
@@ -248,7 +258,7 @@ def fixpoint_components(
 
         return FixpointComponents(
             step, x0, delta_converged(delta if delta else 1e-6),
-            max_iter if max_iter is not None else 1000,
+            max_iter if max_iter is not None else 1000, unpermute,
         )
     raise KeyError(f"unknown fixpoint algorithm {algo!r}")
 

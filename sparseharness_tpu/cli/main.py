@@ -161,9 +161,8 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
                    help="host-stepped per-iteration timing records "
                         "(the reference's RAW_RESULT-per-iteration mode)")
     args = p.parse_args(argv)
-    if args.reorder and (args.stepped or not reorderable):
-        p.error("--reorder is not supported with --stepped" if reorderable
-                else f"--reorder is not supported for {kernel_name}")
+    if args.reorder and not reorderable:
+        p.error(f"--reorder is not supported for {kernel_name}")
     if getattr(args, "roots", None):
         if not supports_roots:
             p.error(f"--roots is not supported for {kernel_name}")
@@ -196,7 +195,7 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
 
         comp = fixpoint_components(
             algo, coo, root=getattr(args, "root", 0), variant=args.kernel,
-            max_iter=args.max_iter,
+            max_iter=args.max_iter, reorder=args.reorder,
         )
         res = benchmark_fixpoint_stepped(
             comp, gold=gold, config=config, matrix_name=args.matrix,

@@ -287,8 +287,11 @@ def benchmark_fixpoint_stepped(
             )
         total_iters = it
         if trial == 0 and gold is not None and x is not None:
+            final = np.asarray(x)
+            if getattr(components, "unpermute", None) is not None:
+                final = components.unpermute(final)
             correctness = check_result(
-                np.asarray(x), gold, delta=config.delta, exact=exact
+                final, gold, delta=config.delta, exact=exact
             )
         records.append(
             BenchRecord(
