@@ -119,3 +119,27 @@ def test_cli_reorder_flag(tmp_path):
     rc = sssp_main(["-m", str(p), "--root", "0", "-k", "auto", "-n", "1",
                     "--reorder", "rcm"])
     assert rc == 0
+
+
+def test_fixpoint_components_reorder_contract():
+    """Components built with reorder solve in permuted space and expose an
+    unpermute hook that restores original numbering; scc refuses."""
+    import jax
+    import pytest as pt
+    from sparseharness_tpu.algorithms import sssp
+    from sparseharness_tpu.algorithms.apps import fixpoint_components
+    from sparseharness_tpu.algorithms.fixpoint import run_fixpoint
+
+    shuffled, _ = _shuffled_banded(120, 2, seed=61)
+    shuffled = shuffled.with_values(np.abs(shuffled.vals) + 0.1)
+    comp = fixpoint_components("sssp", shuffled, root=11, reorder="rcm")
+    res = jax.jit(
+        lambda x0: run_fixpoint(
+            comp.step, x0, convergence=comp.convergence, max_iter=comp.limit
+        )
+    )(comp.x0)
+    direct = np.asarray(sssp(shuffled, 11).x)
+    np.testing.assert_allclose(comp.unpermute(res.x), direct, rtol=1e-5)
+
+    with pt.raises(ValueError):
+        fixpoint_components("scc", shuffled, reorder="rcm")
