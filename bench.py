@@ -86,8 +86,10 @@ def main() -> int:
         if res.median_ns <= 0:
             continue
         gnnz = coo.nnz / (res.median_ns * 1e-9) / 1e9
+        # no clamping: a frac > 1.0 would mean the traffic model undercounts
+        # and must be surfaced, not masked (VERDICT r1 weak #4)
         if best is None or gnnz > best[3]:
-            best = (f"{variant}@{geom}", res, min(res.roofline_frac, 1.0), gnnz)
+            best = (f"{variant}@{geom}", res, res.roofline_frac, gnnz)
 
     variant, res, frac, _ = best
     frac = float(frac)

@@ -18,7 +18,16 @@ fi
 
 run() { echo "== $*"; python -m sparseharness_tpu.cli.runner "$@"; }
 
+# logic smoke runs on CPU by default (TPU remote compiles cost 30-120s per
+# program and perf is bench.py's job); SMOKE_TPU=1 exercises the real chip
+# with the persistent compile cache
 python -c "
+import os
+import jax
+if os.environ.get('SMOKE_TPU', '0') != '1':
+    jax.config.update('jax_platforms', 'cpu')
+else:
+    jax.config.update('jax_compilation_cache_dir', '/tmp/sh_tpu_jax_cache')
 from sparseharness_tpu.cli.main import spmv_main, sssp_main, bfs_main, pr_main, scc_main, eigenvector_main
 import sys
 m = '$MTX'

@@ -396,9 +396,13 @@ def scc(
     propagation. The reference's app/scc.cpp does only the forward pass
     (SURVEY quirk list); the intersection here completes the algorithm.
 
-    Returns (component_ids, forward_fixpoint, backward_fixpoint);
-    component ids are canonicalized to the minimum member vertex, so they
-    are identical with and without reordering."""
+    Returns (component_ids, forward_fixpoint, backward_fixpoint).
+
+    **Label scheme (changed in r1, by design):** component ids are
+    canonicalized to the *minimum member vertex id* — NOT dense 0..k-1
+    ids — so direct and reorder="rcm" runs agree bit-for-bit. Consumers
+    needing dense contiguous ids should apply ``np.unique(labels,
+    return_inverse=True)[1]`` themselves (ADVICE r1 #3)."""
     _require_square(coo)
     coo, inv, _ = _reorder_pre(coo, reorder)
     fwd = _label_propagate(coo, variant, geometry, max_iter)

@@ -1,17 +1,22 @@
 """Per-algorithm command-line drivers.
 
 Replaces the reference's app binaries and their COMMON_MAIN_PREAMBLE flag
-surface (inc/common.h:5-56):
+surface (inc/common.h:5-56, verified against the OptParser definitions at
+inc/common.h:9-32):
 
-  reference                  here
-  -p/--platform -d/--device  --mesh (device count; platform is jax-managed)
-  -m/--matrix                -m/--matrix
-  -f/--kernel (JSON file)    -k/--kernel (variant name from ops.VARIANTS)
-  -r/--runfile (CSV)         -r/--runfile (same CSV accepted) / --sweep
-  -n/--trials                -n/--trials
-  -t/--timeout               -t/--timeout (seconds)
-  -c/--delta                 -c/--delta
-  -e/--experiment_id         -e/--experiment-id
+  reference                       here
+  -p/--platform -d/--device       --mesh (device count; platform is
+                                  jax-managed)
+  -i/--trials                     -n/--trials
+  -m/--matrix                     -m/--matrix
+  -f/--matrix_name                -f/--matrix-name (record label passthrough)
+  -k/--kernel (JSON file)         -k/--kernel (variant name, ops.VARIANTS)
+  -r/--runfile (CSV)              -r/--runfile (same CSV accepted) / --sweep
+  -n/--hostname                   --hostname (records default to
+                                  platform.node())
+  -e/--experiment                 -e/--experiment-id
+  -c/--delta                      -c/--delta
+  -t/--timeout (milliseconds)     -t/--timeout (seconds)
 
 Outputs: human summary on stdout, optional --jsonl / --sql result sinks
 (the reference prints SQL INSERT rows to stdout — inc/sql_stat.h:60).
@@ -29,6 +34,13 @@ import numpy as np
 def _common_parser(description: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
     p.add_argument("-m", "--matrix", required=True, help=".mtx file")
+    p.add_argument("-f", "--matrix-name", default=None,
+                   help="matrix label for result records (the reference's "
+                        "-f matrix_name, inc/common.h:18-19); defaults to "
+                        "the -m path")
+    p.add_argument("--hostname", default=None,
+                   help="host label for result records (the reference's "
+                        "-n hostname); defaults to platform.node()")
     p.add_argument("-k", "--kernel", default="ell",
                    help="kernel variant (auto|ell|coo_seg|dense|dia|"
                         "bsr_pallas|bsr_ell|bsr_fused|bsr_band); 'auto' "
@@ -72,6 +84,9 @@ def _setup(args):
 def _emit(records, args) -> None:
     from sparseharness_tpu.harness import write_records
 
+    if getattr(args, "hostname", None):
+        for r in records:
+            r.host = args.hostname
     jf = open(args.jsonl, "a") if args.jsonl else None
     sf = open(args.sql, "a") if args.sql else None
     try:
@@ -113,7 +128,7 @@ def spmv_main(argv: Optional[list] = None) -> int:
             else default_sweep()
         )
         results = run_sweep(
-            {args.matrix: coo}, points, config=config,
+            {args.matrix_name or args.matrix: coo}, points, config=config,
             check_gold=not args.no_gold,
         )
         for mname, per_point in results.items():
@@ -135,7 +150,7 @@ def spmv_main(argv: Optional[list] = None) -> int:
         gold = spmv_gold(coo, np.asarray(prob.x0), np.asarray(prob.y), PLUS_TIMES)
         scale = spmv_abs_bound(coo, np.asarray(prob.x0))
     res = benchmark_spmv(
-        prob, gold=gold, config=config, matrix_name=args.matrix, nnz=coo.nnz,
+        prob, gold=gold, config=config, matrix_name=args.matrix_name or args.matrix, nnz=coo.nnz,
         gold_scale=scale,
     )
     print(res.summary())
@@ -149,8 +164,10 @@ def _roots_list(args) -> list:
 
 def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
                    kernel_name="fixpoint", sharded_solve=None, algo=None,
-                   reorderable=True, supports_roots=False):
+                   reorderable=True, supports_roots=False, add_args=None):
     p = _common_parser(description)
+    if add_args is not None:
+        add_args(p)
     if needs_root:
         p.add_argument("--root", type=int, default=0)
         p.add_argument("--roots", default=None,
@@ -186,7 +203,7 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
         mesh = make_mesh(args.mesh)
         res = benchmark_fixpoint(
             lambda: sharded_solve(coo, args, mesh),
-            gold=gold, config=config, matrix_name=args.matrix,
+            gold=gold, config=config, matrix_name=args.matrix_name or args.matrix,
             kernel_name=f"{kernel_name}:sharded{args.mesh}", nnz=coo.nnz,
             exact=exact,
         )
@@ -198,13 +215,13 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
             max_iter=args.max_iter, reorder=args.reorder,
         )
         res = benchmark_fixpoint_stepped(
-            comp, gold=gold, config=config, matrix_name=args.matrix,
+            comp, gold=gold, config=config, matrix_name=args.matrix_name or args.matrix,
             kernel_name=f"{kernel_name}:{args.kernel}", exact=exact,
         )
     else:
         res = benchmark_fixpoint(
             lambda: solve(coo, args),
-            gold=gold, config=config, matrix_name=args.matrix,
+            gold=gold, config=config, matrix_name=args.matrix_name or args.matrix,
             kernel_name=f"{kernel_name}:{args.kernel}", nnz=coo.nnz,
             exact=exact,
         )
@@ -292,21 +309,67 @@ def pr_main(argv: Optional[list] = None) -> int:
     )
 
 
-def scc_main(argv: Optional[list] = None) -> int:
-    from sparseharness_tpu.algorithms.apps import _label_propagate
-    from sparseharness_tpu.ops import Geometry
-    from sparseharness_tpu.gold.algorithms import scc_labels_gold
+def _canon_partition(labels: np.ndarray) -> np.ndarray:
+    """Relabel a component labeling to first-occurrence dense ids, so any
+    two labelings of the same partition compare equal exactly."""
+    _, idx, inv = np.unique(labels, return_index=True, return_inverse=True)
+    rank = np.argsort(np.argsort(idx))
+    return rank[inv].astype(np.int32)
 
-    from sparseharness_tpu.parallel.sharded import sharded_scc_forward
+
+def scc_main(argv: Optional[list] = None) -> int:
+    """SCC driver. Default benchmarks the reference's forward max-label
+    propagation (app/scc.cpp semantics); --full runs the completed
+    forward-and-backward SCC (algorithms.scc / parallel.sharded_scc) and
+    checks the component partition against the classical gold."""
+    import types
+
+    import jax.numpy as jnp
+
+    from sparseharness_tpu.algorithms.apps import _label_propagate, scc
+    from sparseharness_tpu.ops import Geometry
+    from sparseharness_tpu.gold.algorithms import scc_gold, scc_labels_gold
+
+    from sparseharness_tpu.parallel.sharded import (
+        sharded_scc, sharded_scc_forward,
+    )
+
+    def _full_result(labels, fwd, bwd):
+        return types.SimpleNamespace(
+            x=jnp.asarray(_canon_partition(np.asarray(labels))),
+            iterations=fwd.iterations + bwd.iterations,
+            converged=fwd.converged and bwd.converged,
+        )
+
+    def _solve(coo, a):
+        if a.full:
+            return _full_result(*scc(coo, variant=a.kernel,
+                                     max_iter=a.max_iter))
+        return _label_propagate(coo, a.kernel, Geometry(), a.max_iter)
+
+    def _sharded(coo, a, m):
+        if a.full:
+            return _full_result(*sharded_scc(coo, mesh=m,
+                                             max_iter=a.max_iter))
+        return sharded_scc_forward(coo, mesh=m, max_iter=a.max_iter)
+
+    def _gold(coo, a):
+        if a.full:
+            return _canon_partition(scc_gold(coo))
+        return scc_labels_gold(coo)
 
     return _fixpoint_main(
-        "SCC max-label propagation (app/scc.cpp; fwd pass benchmarked)",
-        lambda coo, a: _label_propagate(coo, a.kernel, Geometry(), a.max_iter),
-        lambda coo, a: scc_labels_gold(coo),
+        "SCC max-label propagation (app/scc.cpp; fwd pass by default, "
+        "--full for the completed fwd-and-bwd components)",
+        _solve,
+        _gold,
         needs_root=False, argv=argv, exact=True, kernel_name="scc", algo="scc",
         reorderable=False,  # raw labels are numbering-dependent
-        sharded_solve=lambda coo, a, m: sharded_scc_forward(
-            coo, mesh=m, max_iter=a.max_iter),
+        sharded_solve=_sharded,
+        add_args=lambda p: p.add_argument(
+            "--full", action="store_true",
+            help="full SCC: forward-and-backward label propagation "
+                 "intersection (the reference only does forward)"),
     )
 
 

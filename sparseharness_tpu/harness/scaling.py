@@ -23,7 +23,7 @@ import numpy as np
 from sparseharness_tpu.formats.generate import random_graph_coo
 from sparseharness_tpu.parallel.mesh import make_mesh
 from sparseharness_tpu.parallel.sharded import build_sharded_ell
-from sparseharness_tpu.semiring import Semiring, PLUS_TIMES
+from sparseharness_tpu.semiring import Semiring, MIN_PLUS
 from sparseharness_tpu.utils.logging import get_logger
 
 log = get_logger("scaling")
@@ -47,23 +47,46 @@ def weak_scaling_spmv(
     base_rows: int = 1 << 14,
     avg_degree: float = 8.0,
     device_counts: Optional[List[int]] = None,
-    sr: Semiring = PLUS_TIMES,
+    sr: Semiring = MIN_PLUS,
     inner_iters: int = 8,
     matrix_fn: Callable = None,
+    kernel: str = "ell",
 ) -> List[ScalePoint]:
-    """Chained two-point SpMV timing per device count, rows ∝ devices."""
+    """Chained two-point SpMV timing per device count, rows ∝ devices.
+
+    The default semiring is min_plus: its ⊕ is idempotent, so the chained
+    body x ← A⊗x needs no magnitude control and the timed op is *exactly*
+    the SpMV being scaled (the earlier plus_times body decayed dp by 1e-6
+    each iteration to dodge overflow — VERDICT r1 weak #9).
+
+    kernel="ell": all-gather + XLA-gather local dp (any structure).
+    kernel="band": the production path — Pallas band local compute with
+    edge ppermutes overlapped with the interior pallas_call
+    (parallel/sharded_band.py); requires bandable structure, so the default
+    matrix_fn switches to a banded generator."""
     import jax.numpy as jnp
     from functools import partial
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax import shard_map
     from sparseharness_tpu.parallel.mesh import ROWS_AXIS
     from sparseharness_tpu.parallel.sharded import _local_dp, _place
+    from sparseharness_tpu.parallel.sharded_band import (
+        _edge_exchange, _local_band_dp, build_sharded_band,
+    )
 
+    if kernel not in ("ell", "band"):
+        raise ValueError(f"unknown weak-scaling kernel {kernel!r}")
     if device_counts is None:
         avail = len(jax.devices())
         device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= avail]
     if matrix_fn is None:
-        matrix_fn = lambda n: random_graph_coo(n, avg_degree, seed=7)
+        if kernel == "band":
+            from sparseharness_tpu.formats.generate import banded_coo
+
+            half = max(int(avg_degree) // 2, 1)
+            matrix_fn = lambda n: banded_coo(n, half, seed=7)
+        else:
+            matrix_fn = lambda n: random_graph_coo(n, avg_degree, seed=7)
 
     points: List[ScalePoint] = []
     base_time = None
@@ -71,47 +94,80 @@ def weak_scaling_spmv(
         n = base_rows * d
         coo = matrix_fn(n)
         mesh = make_mesh(d)
-        op, chunk = build_sharded_ell(coo, sr, d)
-        r_pad = d * chunk
         rng = np.random.default_rng(3)
-        x0 = jnp.asarray(
-            np.pad(rng.uniform(0.1, 1.0, n).astype(np.float32),
-                   (0, r_pad - n), constant_values=sr.zero)
-        )
 
-        def chained(k):
-            @partial(
-                shard_map, mesh=mesh,
-                in_specs=(P(ROWS_AXIS, None, None), P(ROWS_AXIS, None, None),
-                          P(ROWS_AXIS)),
-                out_specs=P(ROWS_AXIS),
+        if kernel == "band":
+            op, chunk = build_sharded_band(coo, sr, d)
+            r_pad = d * op.chunk
+            x0 = jnp.asarray(
+                np.pad(rng.uniform(0.1, 1.0, n).astype(np.float32),
+                       (0, r_pad - n), constant_values=sr.zero)
             )
-            def run(cols, vals, x_local):
-                def body(xl, _):
-                    x_full = jax.lax.all_gather(xl, ROWS_AXIS, tiled=True)
-                    dp = _local_dp(cols[0], vals[0], x_full, sr)
-                    return dp * 1e-6, None
 
-                xl, _ = jax.lax.scan(body, x_local, None, length=k)
-                return xl
+            def chained(k, op=op):
+                halo = op.halo
 
-            return jax.jit(lambda c, v, x: run(c, v, x))
+                @partial(
+                    shard_map, mesh=mesh,
+                    in_specs=(P(ROWS_AXIS, None, None, None), P(ROWS_AXIS)),
+                    out_specs=P(ROWS_AXIS), check_vma=False,
+                )
+                def run(strips, x_local):
+                    st = strips[0]
 
-        op_placed = _place(mesh, op)
-        x_sh = jax.device_put(
-            x0, NamedSharding(mesh, P(ROWS_AXIS))
-        )
+                    def body(xl, _):
+                        fl, fr = _edge_exchange(xl, halo, ROWS_AXIS)
+                        dp = _local_band_dp(op, st, xl, fl, fr, sr)
+                        return dp, None  # the timed op is exactly the SpMV
+
+                    xl, _ = jax.lax.scan(body, x_local, None, length=k)
+                    return xl
+
+                return jax.jit(lambda s, x: run(s, x))
+
+            sh4 = NamedSharding(mesh, P(ROWS_AXIS, None, None, None))
+            args = (jax.device_put(op.strips, sh4),)
+        else:
+            op, chunk = build_sharded_ell(coo, sr, d)
+            r_pad = d * chunk
+            x0 = jnp.asarray(
+                np.pad(rng.uniform(0.1, 1.0, n).astype(np.float32),
+                       (0, r_pad - n), constant_values=sr.zero)
+            )
+
+            def chained(k):
+                @partial(
+                    shard_map, mesh=mesh,
+                    in_specs=(P(ROWS_AXIS, None, None),
+                              P(ROWS_AXIS, None, None), P(ROWS_AXIS)),
+                    out_specs=P(ROWS_AXIS),
+                )
+                def run(cols, vals, x_local):
+                    def body(xl, _):
+                        x_full = jax.lax.all_gather(xl, ROWS_AXIS, tiled=True)
+                        dp = _local_dp(cols[0], vals[0], x_full, sr)
+                        return dp, None  # the timed op is exactly the SpMV
+
+                    xl, _ = jax.lax.scan(body, x_local, None, length=k)
+                    return xl
+
+                return jax.jit(lambda c, v, x: run(c, v, x))
+
+            op_placed = _place(mesh, op)
+            args = (op_placed.cols, op_placed.vals)
+
+        x_sh = jax.device_put(x0, NamedSharding(mesh, P(ROWS_AXIS)))
         f1 = chained(inner_iters)
         f2 = chained(2 * inner_iters)
-        _sync(f1(op_placed.cols, op_placed.vals, x_sh))
-        _sync(f2(op_placed.cols, op_placed.vals, x_sh))
+        _sync(f1(*args, x_sh))
+        _sync(f2(*args, x_sh))
         t1s, t2s = [], []
         for _ in range(3):
             t0 = time.perf_counter()
-            _sync(f1(op_placed.cols, op_placed.vals, x_sh))
+            _sync(f1(*args, x_sh))
             t1s.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            _sync(f2(op_placed.cols, op_placed.vals, x_sh))
+            _sync(f2(*args, x_sh))
             t2s.append(time.perf_counter() - t0)
         per = max((min(t2s) - min(t1s)) / inner_iters, 1e-9)
         if base_time is None:

@@ -16,6 +16,14 @@ from sparseharness_tpu.parallel.sharded import (  # noqa: F401
     sharded_sssp,
     sharded_bfs,
     sharded_eigenvector,
+    sharded_scc,
+    sharded_scc_forward,
+)
+from sparseharness_tpu.parallel.sharded_band import (  # noqa: F401
+    ShardedBandOperand,
+    build_sharded_band,
+    sharded_spmv_band,
+    sharded_fixpoint_band,
 )
 from sparseharness_tpu.parallel.auto import (  # noqa: F401
     shard_operand_rows,

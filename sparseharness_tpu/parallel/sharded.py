@@ -4,20 +4,24 @@ The multi-chip design mandated by the north star (BASELINE.json), with no
 counterpart in the single-device reference:
 
 - matrix rows block-partitioned across the ``"rows"`` mesh axis — each chip
-  owns a contiguous row chunk as a padded ELL shard of identical shape
-  (SPMD requires uniform blocks);
+  owns a contiguous row chunk (padded ELL shard, or a window-local Pallas
+  band operand — parallel/sharded_band.py — when the structure permits);
 - the x vector lives row-sharded between iterations and is **all-gathered
-  over ICI** at the top of each step (v1), or ring-``ppermute``d in
-  column chunks overlapped with local compute (v2, ring variant);
+  over ICI** at the top of each step (gather mode), or ring-``ppermute``d
+  halo edges overlapped with local compute (halo/band modes);
 - fixpoint convergence is an on-device ``psum`` of a changed-flag inside
   the ``lax.while_loop`` — replacing the reference's per-iteration full
   host readback + CPU compare (app/sssp.cpp:129-141) with zero host round
   trips across the whole multi-chip solve.
+
+Solvers are memoized by static configuration so repeated calls reuse one
+trace (jax.jit keyed on a cached closure) — no per-call retrace.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
@@ -30,6 +34,9 @@ from jax import shard_map
 from sparseharness_tpu.formats.sparse import COO, round_up
 from sparseharness_tpu.formats.preprocess import pagerank_normalise
 from sparseharness_tpu.parallel.mesh import ROWS_AXIS, make_mesh
+from sparseharness_tpu.parallel.sharded_band import (
+    build_sharded_band, sharded_fixpoint_band,
+)
 from sparseharness_tpu.semiring import Semiring, PLUS_TIMES, MIN_PLUS, OR_AND
 
 FLT_MAX = float(np.finfo(np.float32).max)
@@ -91,11 +98,71 @@ def _place(mesh: Mesh, op: ShardedEll) -> ShardedEll:
 
 def _local_dp(cols, vals, x_full, sr: Semiring):
     """Per-device dp over the local row chunk; x_full is the gathered
-    (D·chunk,)-padded vector, cols index it globally."""
+    (D·chunk,)-padded vector, cols index it globally.
+
+    NOTE: this is the *correctness fallback* for structures the Pallas
+    kernels can't take (per-element XLA gather, slow on TPU —
+    CLAUDE.md 'Environment gotchas'); bandable matrices route through
+    parallel/sharded_band.py instead (mode="auto")."""
     contrib = sr.mul(x_full[cols], vals)
     dp = sr.add_reduce(contrib, axis=1)
     # ⊕-identity clamp (saturate min_plus overflow, normalize empties)
     return sr.add(dp, jnp.full_like(dp, jnp.asarray(sr.zero, dp.dtype)))
+
+
+# ------------------------------------------------------------ solver cache
+
+
+_SOLVER_CACHE: dict = {}
+
+
+def _mesh_key(mesh: Mesh):
+    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+
+
+def _cached(key, build: Callable):
+    fn = _SOLVER_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(build())
+        _SOLVER_CACHE[key] = fn
+    return fn
+
+
+# hashable-by-value combine fns (module-level identity keys the caches)
+
+
+def combine_min(x, dp):
+    return jnp.minimum(x, dp)
+
+
+def combine_max(x, dp):
+    return jnp.maximum(x, dp)
+
+
+def combine_or(x, dp):
+    return jnp.logical_or(x, dp)
+
+
+def combine_keep_dp(x, dp):
+    return dp
+
+
+@dataclasses.dataclass(frozen=True)
+class CombineAddConst:
+    """dp + const (PageRank teleport) — frozen dataclass so equal constants
+    hash equal and the solver cache hits across calls."""
+
+    const: float
+
+    def __call__(self, x, dp):
+        return dp + jnp.asarray(self.const, dp.dtype)
+
+
+def bfs_level_stamp(levels, x_old, x_new, it):
+    """Stamp iteration index on newly reached vertices (matches the
+    single-device bfs aux, algorithms/apps.py)."""
+    newly = jnp.logical_and(x_new, jnp.logical_not(x_old))
+    return jnp.where(newly, it + 1, levels)
 
 
 def sharded_spmv(
@@ -114,19 +181,23 @@ def sharded_spmv(
     x_pad = jnp.pad(x.astype(sr.dtype), (0, r_pad - x.shape[0]),
                     constant_values=zero)
 
-    @partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(ROWS_AXIS, None, None), P(ROWS_AXIS, None, None),
-                  P(ROWS_AXIS)),
-        out_specs=P(ROWS_AXIS),
-    )
-    def run(cols, vals, x_local):
-        x_full = jax.lax.all_gather(x_local, ROWS_AXIS, tiled=True)
-        return _local_dp(cols[0], vals[0], x_full, sr)
+    def build():
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(ROWS_AXIS, None, None), P(ROWS_AXIS, None, None),
+                      P(ROWS_AXIS)),
+            out_specs=P(ROWS_AXIS),
+        )
+        def run(cols, vals, x_local):
+            x_full = jax.lax.all_gather(x_local, ROWS_AXIS, tiled=True)
+            return _local_dp(cols[0], vals[0], x_full, sr)
 
+        return run
+
+    key = (_mesh_key(mesh), "spmv", op.cols.shape, str(op.vals.dtype), sr.name)
     op = _place(mesh, op)
     x_sh = jax.device_put(x_pad, NamedSharding(mesh, P(ROWS_AXIS)))
-    out = jax.jit(run)(op.cols, op.vals, x_sh)
+    out = _cached(key, build)(op.cols, op.vals, x_sh)
     return out[:n_rows]
 
 
@@ -228,21 +299,26 @@ def sharded_spmv_halo(
     x_pad = jnp.pad(x.astype(sr.dtype), (0, r_pad - x.shape[0]),
                     constant_values=zero)
 
-    @partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(ROWS_AXIS, None, None), P(ROWS_AXIS, None, None),
-                  P(ROWS_AXIS)),
-        out_specs=P(ROWS_AXIS),
-    )
-    def run(cols, vals, x_local):
-        window = _halo_window(x_local, halo, ROWS_AXIS)
-        return _local_dp(cols[0], vals[0], window, sr)
+    def build():
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(ROWS_AXIS, None, None), P(ROWS_AXIS, None, None),
+                      P(ROWS_AXIS)),
+            out_specs=P(ROWS_AXIS),
+        )
+        def run(cols, vals, x_local):
+            window = _halo_window(x_local, halo, ROWS_AXIS)
+            return _local_dp(cols[0], vals[0], window, sr)
 
+        return run
+
+    key = (_mesh_key(mesh), "spmv_halo", op.cols.shape, str(op.vals.dtype),
+           sr.name, halo)
     sh = NamedSharding(mesh, P(ROWS_AXIS, None, None))
     cols = jax.device_put(op.cols, sh)
     vals = jax.device_put(op.vals, sh)
     x_sh = jax.device_put(x_pad, NamedSharding(mesh, P(ROWS_AXIS)))
-    return jax.jit(run)(cols, vals, x_sh)[:n_rows]
+    return _cached(key, build)(cols, vals, x_sh)[:n_rows]
 
 
 # --------------------------------------------------------------- fixpoint
@@ -254,6 +330,121 @@ class ShardedFixpointResult:
     iterations: int
     converged: bool
     aux: Optional[jax.Array] = None
+
+
+def _run_ell_fixpoint(
+    mesh: Mesh,
+    op,
+    x0: np.ndarray,
+    sr: Semiring,
+    *,
+    halo: Optional[int],      # None → all-gather mode
+    n_rows: int,
+    combine: Callable,
+    exact: bool,
+    delta: float,
+    max_iter: int,
+    norm: bool,
+    aux0: Optional[np.ndarray],
+    aux_update: Optional[Callable],
+) -> ShardedFixpointResult:
+    """Shared gather/halo ELL fixpoint: while_loop inside shard_map,
+    psum'd convergence flag, optional per-row aux (BFS levels)."""
+    D, chunk, _ = op.cols.shape
+    r_pad = D * chunk
+    zero = jnp.asarray(sr.zero, sr.dtype)
+    x_pad = jnp.pad(
+        jnp.asarray(x0, dtype=sr.dtype), (0, r_pad - len(x0)),
+        constant_values=zero,
+    )
+    with_aux = aux_update is not None
+    if with_aux:
+        aux_pad = jnp.pad(jnp.asarray(aux0), (0, r_pad - len(aux0)))
+
+    def build():
+        out_specs = (P(ROWS_AXIS),) * (2 if with_aux else 1) + (P(), P())
+        in_specs = (P(ROWS_AXIS, None, None), P(ROWS_AXIS, None, None),
+                    P(ROWS_AXIS)) + ((P(ROWS_AXIS),) if with_aux else ())
+
+        @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        def solve(cols, vals, x_local, *maybe_aux):
+            cols, vals = cols[0], vals[0]
+
+            def dp_of(x_loc):
+                if halo is None:
+                    xf = jax.lax.all_gather(x_loc, ROWS_AXIS, tiled=True)
+                else:
+                    xf = _halo_window(x_loc, halo, ROWS_AXIS)
+                return _local_dp(cols, vals, xf, sr)
+
+            def step(x_loc):
+                x_new = combine(x_loc, dp_of(x_loc))
+                if norm:
+                    sq = jax.lax.psum(
+                        jnp.sum(x_new.astype(jnp.float32) ** 2), ROWS_AXIS
+                    )
+                    nrm = jnp.sqrt(sq)
+                    x_new = jnp.where(
+                        nrm > 0, x_new / nrm.astype(x_new.dtype), x_new
+                    )
+                return x_new
+
+            def local_changed(a, b):
+                if exact:
+                    return jnp.any(a != b)
+                return jnp.any(jnp.abs(a - b) >= delta)
+
+            def cond(carry):
+                return jnp.logical_and(~carry[-1], carry[-2] < max_iter)
+
+            def body(carry):
+                if with_aux:
+                    x_loc, aux, it, _ = carry
+                else:
+                    x_loc, it, _ = carry
+                x_new = step(x_loc)
+                changed = jax.lax.psum(
+                    local_changed(x_loc, x_new).astype(jnp.int32), ROWS_AXIS
+                )
+                if with_aux:
+                    aux = aux_update(aux, x_loc, x_new, it)
+                    return (x_new, aux, it + 1, changed == 0)
+                return (x_new, it + 1, changed == 0)
+
+            init = (
+                (x_local, maybe_aux[0], jnp.int32(0), jnp.bool_(False))
+                if with_aux else (x_local, jnp.int32(0), jnp.bool_(False))
+            )
+            out = jax.lax.while_loop(cond, body, init)
+            if with_aux:
+                x_fin, aux_fin, iters, done = out
+                return x_fin, aux_fin, iters[None], done[None]
+            x_fin, iters, done = out
+            return x_fin, iters[None], done[None]
+
+        return solve
+
+    key = (
+        _mesh_key(mesh), "fix", op.cols.shape, str(op.vals.dtype), sr.name,
+        halo, combine, exact, float(delta), int(max_iter), norm, aux_update,
+        str(aux_pad.dtype) if with_aux else None,
+    )
+    sh3 = NamedSharding(mesh, P(ROWS_AXIS, None, None))
+    cols = jax.device_put(op.cols, sh3)
+    vals = jax.device_put(op.vals, sh3)
+    x_sh = jax.device_put(x_pad, NamedSharding(mesh, P(ROWS_AXIS)))
+    solver = _cached(key, build)
+    if with_aux:
+        aux_sh = jax.device_put(aux_pad, NamedSharding(mesh, P(ROWS_AXIS)))
+        x_fin, aux_fin, iters, done = solver(cols, vals, x_sh, aux_sh)
+        return ShardedFixpointResult(
+            x=x_fin[:n_rows], iterations=int(iters[0]),
+            converged=bool(done[0]), aux=aux_fin[:n_rows],
+        )
+    x_fin, iters, done = solver(cols, vals, x_sh)
+    return ShardedFixpointResult(
+        x=x_fin[:n_rows], iterations=int(iters[0]), converged=bool(done[0])
+    )
 
 
 def sharded_fixpoint(
@@ -268,66 +459,15 @@ def sharded_fixpoint(
     delta: float = 0.0,
     max_iter: int = 10_000,
     norm: bool = False,       # L2-normalize x_new globally (eigenvector)
+    aux0: Optional[np.ndarray] = None,
+    aux_update: Optional[Callable] = None,
 ) -> ShardedFixpointResult:
     """Whole fixpoint on-device across the mesh: while_loop inside
     shard_map, all-gather per iteration, psum'd convergence flag."""
-    D, chunk, _ = op.cols.shape
-    r_pad = D * chunk
-    zero = jnp.asarray(sr.zero, sr.dtype)
-    x_pad = jnp.pad(
-        jnp.asarray(x0, dtype=sr.dtype), (0, r_pad - len(x0)),
-        constant_values=zero,
-    )
-
-    @partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(ROWS_AXIS, None, None), P(ROWS_AXIS, None, None),
-                  P(ROWS_AXIS)),
-        out_specs=(P(ROWS_AXIS), P(), P()),
-    )
-    def solve(cols, vals, x_local):
-        cols, vals = cols[0], vals[0]
-
-        def step(x_loc):
-            x_full = jax.lax.all_gather(x_loc, ROWS_AXIS, tiled=True)
-            dp = _local_dp(cols, vals, x_full, sr)
-            x_new = combine(x_loc, dp)
-            if norm:
-                sq = jax.lax.psum(jnp.sum(x_new.astype(jnp.float32) ** 2),
-                                  ROWS_AXIS)
-                nrm = jnp.sqrt(sq)
-                x_new = jnp.where(nrm > 0, x_new / nrm.astype(x_new.dtype), x_new)
-            return x_new
-
-        def local_changed(a, b):
-            if exact:
-                return jnp.any(a != b)
-            return jnp.any(jnp.abs(a - b) >= delta)
-
-        def cond(carry):
-            _, it, done = carry
-            return jnp.logical_and(~done, it < max_iter)
-
-        def body(carry):
-            x_loc, it, _ = carry
-            x_new = step(x_loc)
-            changed = jax.lax.psum(
-                local_changed(x_loc, x_new).astype(jnp.int32), ROWS_AXIS
-            )
-            return (x_new, it + 1, changed == 0)
-
-        x_fin, iters, done = jax.lax.while_loop(
-            cond, body, (x_local, jnp.int32(0), jnp.bool_(False))
-        )
-        return x_fin, iters[None], done[None]
-
-    op = _place(mesh, op)
-    x_sh = jax.device_put(x_pad, NamedSharding(mesh, P(ROWS_AXIS)))
-    x_fin, iters, done = jax.jit(solve)(op.cols, op.vals, x_sh)
-    return ShardedFixpointResult(
-        x=x_fin[:n_rows],
-        iterations=int(iters[0]),
-        converged=bool(done[0]),
+    return _run_ell_fixpoint(
+        mesh, op, x0, sr, halo=None, n_rows=n_rows, combine=combine,
+        exact=exact, delta=delta, max_iter=max_iter, norm=norm,
+        aux0=aux0, aux_update=aux_update,
     )
 
 
@@ -342,71 +482,33 @@ def sharded_fixpoint_halo(
     exact: bool = True,
     delta: float = 0.0,
     max_iter: int = 10_000,
-    norm: bool = False,       # L2-normalize x_new globally (eigenvector)
+    norm: bool = False,
+    aux0: Optional[np.ndarray] = None,
+    aux_update: Optional[Callable] = None,
 ) -> ShardedFixpointResult:
     """Fixpoint with per-iteration halo exchange: two ring ppermutes of the
     halo edges replace the all-gather — ICI traffic O(halo) per chip per
-    iteration, overlapped with local compute by XLA's scheduler. Banded
-    operands only (build_sharded_ell_halo)."""
-    D, chunk, _ = op.cols.shape
-    halo = op.halo
-    r_pad = D * chunk
-    zero = jnp.asarray(sr.zero, sr.dtype)
-    x_pad = jnp.pad(
-        jnp.asarray(x0, dtype=sr.dtype), (0, r_pad - len(x0)),
-        constant_values=zero,
+    iteration. Banded operands only (build_sharded_ell_halo). For the
+    Pallas-kernel local compute with exchange/compute *overlap*, see
+    parallel/sharded_band.py (mode="band"/"auto" on the wrappers)."""
+    return _run_ell_fixpoint(
+        mesh, op, x0, sr, halo=op.halo, n_rows=n_rows, combine=combine,
+        exact=exact, delta=delta, max_iter=max_iter, norm=norm,
+        aux0=aux0, aux_update=aux_update,
     )
 
-    @partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(ROWS_AXIS, None, None), P(ROWS_AXIS, None, None),
-                  P(ROWS_AXIS)),
-        out_specs=(P(ROWS_AXIS), P(), P()),
+
+def _fingerprint(x0: np.ndarray, op) -> str:
+    """Problem fingerprint for checkpoint validation: shape of the operand,
+    length and content-hash of x0 — refuses resuming a checkpoint written
+    for a different matrix/root (ADVICE r1)."""
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(np.asarray(x0)).tobytes())
+    shapes = tuple(
+        tuple(a.shape) for a in jax.tree_util.tree_leaves(op)
+        if hasattr(a, "shape")
     )
-    def solve(cols, vals, x_local):
-        cols, vals = cols[0], vals[0]
-
-        def step(x_loc):
-            window = _halo_window(x_loc, halo, ROWS_AXIS)
-            dp = _local_dp(cols, vals, window, sr)
-            x_new = combine(x_loc, dp)
-            if norm:
-                sq = jax.lax.psum(jnp.sum(x_new.astype(jnp.float32) ** 2),
-                                  ROWS_AXIS)
-                nrm = jnp.sqrt(sq)
-                x_new = jnp.where(nrm > 0, x_new / nrm.astype(x_new.dtype), x_new)
-            return x_new
-
-        def local_changed(a, b):
-            if exact:
-                return jnp.any(a != b)
-            return jnp.any(jnp.abs(a - b) >= delta)
-
-        def cond(carry):
-            _, it, done = carry
-            return jnp.logical_and(~done, it < max_iter)
-
-        def body(carry):
-            x_loc, it, _ = carry
-            x_new = step(x_loc)
-            changed = jax.lax.psum(
-                local_changed(x_loc, x_new).astype(jnp.int32), ROWS_AXIS
-            )
-            return (x_new, it + 1, changed == 0)
-
-        x_fin, iters, done = jax.lax.while_loop(
-            cond, body, (x_local, jnp.int32(0), jnp.bool_(False))
-        )
-        return x_fin, iters[None], done[None]
-
-    sh3 = NamedSharding(mesh, P(ROWS_AXIS, None, None))
-    cols = jax.device_put(op.cols, sh3)
-    vals = jax.device_put(op.vals, sh3)
-    x_sh = jax.device_put(x_pad, NamedSharding(mesh, P(ROWS_AXIS)))
-    x_fin, iters, done = jax.jit(solve)(cols, vals, x_sh)
-    return ShardedFixpointResult(
-        x=x_fin[:n_rows], iterations=int(iters[0]), converged=bool(done[0])
-    )
+    return f"{len(x0)}|{shapes}|{h.hexdigest()}"
 
 
 def sharded_fixpoint_checkpointed(
@@ -423,23 +525,36 @@ def sharded_fixpoint_checkpointed(
     exact: bool = True,
     delta: float = 0.0,
     max_iter: int = 10_000,
+    keep_on_converged: bool = False,
     **solver_kw,
 ) -> ShardedFixpointResult:
     """Durable long multi-chip solves: run ``solver`` (sharded_fixpoint or
     sharded_fixpoint_halo) in ``every``-iteration chunks, writing (x, total
-    iterations) to ``ckpt_path`` after each chunk (atomic rename) and
-    resuming from an existing checkpoint on restart — the sharded
-    counterpart of algorithms.fixpoint.run_fixpoint_checkpointed, per
-    SURVEY §5's 'checkpointing is for long multi-host solves'."""
+    iterations, problem fingerprint) to ``ckpt_path`` after each chunk
+    (atomic rename) and resuming from an existing checkpoint on restart —
+    the sharded counterpart of algorithms.fixpoint.run_fixpoint_checkpointed,
+    per SURVEY §5's 'checkpointing is for long multi-host solves'.
+
+    A checkpoint whose fingerprint doesn't match this (x0, operand) raises
+    ValueError instead of silently truncating; the checkpoint is removed
+    once the solve converges (pass keep_on_converged=True to keep it)."""
     import os
 
     if not ckpt_path.endswith(".npz"):
         ckpt_path += ".npz"
     x = np.asarray(x0)
+    fp = _fingerprint(x0, op)
     total = 0
     if os.path.exists(ckpt_path):
-        data = np.load(ckpt_path)
-        x = data["x"][:len(x0)]
+        data = np.load(ckpt_path, allow_pickle=False)
+        stored = str(data["fingerprint"]) if "fingerprint" in data else None
+        if stored != fp:
+            raise ValueError(
+                f"checkpoint {ckpt_path} belongs to a different problem "
+                f"(fingerprint {stored!r} != {fp!r}); remove it or use a "
+                "different ckpt_path"
+            )
+        x = data["x"][: len(x0)]
         total = int(data["iteration"])
     converged = False
     while total < max_iter and not converged:
@@ -452,8 +567,10 @@ def sharded_fixpoint_checkpointed(
         converged = res.converged
         tmp = ckpt_path[:-4] + ".tmp.npz"
         with open(tmp, "wb") as f:
-            np.savez(f, x=x, iteration=total)
+            np.savez(f, x=x, iteration=total, fingerprint=fp)
         os.replace(tmp, ckpt_path)
+    if converged and not keep_on_converged and os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
     return ShardedFixpointResult(
         x=jnp.asarray(x), iterations=total, converged=converged,
     )
@@ -464,15 +581,25 @@ def sharded_fixpoint_checkpointed(
 
 def _build_sharded_auto(coo: COO, sr: Semiring, n_shards: int,
                         mode: str = "auto"):
-    """(operand, solver): the O(halo)-ICI operand + halo fixpoint when the
-    structure permits neighbour-only exchange, else the all-gather pair.
+    """(operand, solver): the best TPU path the structure permits.
 
-    mode: "auto" (prefer halo, fall back), "halo" (require it — raises
-    ValueError when the matrix reaches beyond ring neighbours), "gather".
+    Preference order for "auto": the Pallas band operand (roofline local
+    compute + O(halo) ICI + exchange/compute overlap), then the halo-ELL
+    gather fallback (O(halo) ICI, XLA-gather compute), then the all-gather
+    ELL fallback (any structure). mode: "auto", "band" (require the Pallas
+    path — raises NotImplementedError otherwise), "halo" (require
+    neighbour-only exchange — raises ValueError otherwise), "gather".
     Combine with reorder="rcm" on the wrappers: RCM bandwidth reduction is
-    what makes general matrices halo-eligible in the first place."""
-    if mode not in ("auto", "halo", "gather"):
+    what makes general matrices band/halo-eligible in the first place."""
+    if mode not in ("auto", "band", "halo", "gather"):
         raise ValueError(f"unknown sharded mode {mode!r}")
+    if mode in ("auto", "band"):
+        try:
+            op, _ = build_sharded_band(coo, sr, n_shards)
+            return op, sharded_fixpoint_band
+        except NotImplementedError:
+            if mode == "band":
+                raise
     if mode in ("auto", "halo"):
         try:
             op, _ = build_sharded_ell_halo(coo, sr, n_shards)
@@ -495,7 +622,10 @@ def _sharded_reorder_pre(coo: COO, reorder, root=None):
 def _sharded_unpermute(res: ShardedFixpointResult, inv):
     if inv is None:
         return res
-    return dataclasses.replace(res, x=jnp.asarray(np.asarray(res.x)[inv]))
+    aux = None if res.aux is None else jnp.asarray(np.asarray(res.aux)[inv])
+    return dataclasses.replace(
+        res, x=jnp.asarray(np.asarray(res.x)[inv]), aux=aux
+    )
 
 
 def sharded_sssp(coo: COO, root: int, mesh: Optional[Mesh] = None,
@@ -508,10 +638,13 @@ def sharded_sssp(coo: COO, root: int, mesh: Optional[Mesh] = None,
     n = coo.shape[0]
     x0 = np.full(n, FLT_MAX, np.float32)
     x0[root] = 0.0
+    # default cap = n sweeps, matching apps.sssp and gold.sssp_gold so
+    # non-converging inputs (negative cycles, e.g. matrix.mtx/matrix5.mtx)
+    # still compare bit-for-bit with the single-device result
     res = solver(
         mesh, op, x0, sr, n_rows=n,
-        combine=lambda x, dp: jnp.minimum(x, dp),
-        exact=True, max_iter=max_iter or n + 1,
+        combine=combine_min,
+        exact=True, max_iter=max_iter if max_iter is not None else n,
     )
     return _sharded_unpermute(res, inv)
 
@@ -519,6 +652,8 @@ def sharded_sssp(coo: COO, root: int, mesh: Optional[Mesh] = None,
 def sharded_bfs(coo: COO, root: int, mesh: Optional[Mesh] = None,
                 max_iter: Optional[int] = None, mode: str = "auto",
                 reorder: Optional[str] = None) -> ShardedFixpointResult:
+    """Sharded BFS: .x reachability and .aux int32 levels (-1 unreachable,
+    0 root) — structurally identical to the single-device bfs output."""
     mesh = mesh or make_mesh()
     coo, inv, root = _sharded_reorder_pre(coo, reorder, root)
     sr = OR_AND
@@ -526,10 +661,13 @@ def sharded_bfs(coo: COO, root: int, mesh: Optional[Mesh] = None,
     n = coo.shape[0]
     x0 = np.zeros(n, bool)
     x0[root] = True
+    levels0 = np.full(n, -1, np.int32)
+    levels0[root] = 0
     res = solver(
         mesh, op, x0, sr, n_rows=n,
-        combine=lambda x, dp: jnp.logical_or(x, dp),
+        combine=combine_or,
         exact=True, max_iter=max_iter or n + 1,
+        aux0=levels0, aux_update=bfs_level_stamp,
     )
     return _sharded_unpermute(res, inv)
 
@@ -545,32 +683,52 @@ def sharded_pagerank(coo: COO, damping: float = 0.85,
     op, solver = _build_sharded_auto(damped, sr, mesh.devices.size, mode)
     n = coo.shape[0]
     x0 = np.full(n, 1.0 / n, np.float32)
-    teleport = np.float32((1.0 - damping) / n)
     res = solver(
         mesh, op, x0, sr, n_rows=n,
-        combine=lambda x, dp: dp + teleport,
+        combine=CombineAddConst(float((1.0 - damping) / n)),
         exact=False, delta=delta, max_iter=max_iter,
     )
     return _sharded_unpermute(res, inv)
 
 
 def sharded_scc_forward(coo: COO, mesh: Optional[Mesh] = None,
-                        max_iter: Optional[int] = None) -> ShardedFixpointResult:
+                        max_iter: Optional[int] = None,
+                        mode: str = "auto") -> ShardedFixpointResult:
     """Forward max-label propagation across the mesh (the reference's scc
-    pass); full SCC intersects with the transpose pass (algorithms.scc)."""
+    pass); full SCC intersects with the transpose pass (sharded_scc)."""
     from sparseharness_tpu.formats.preprocess import scc_normalise
     from sparseharness_tpu.semiring import MAX_RIGHT
 
     mesh = mesh or make_mesh()
     sr = MAX_RIGHT
-    op, _ = build_sharded_ell(scc_normalise(coo), sr, mesh.devices.size)
+    op, solver = _build_sharded_auto(
+        scc_normalise(coo), sr, mesh.devices.size, mode
+    )
     n = coo.shape[0]
     x0 = np.arange(n, dtype=np.int32)
-    return sharded_fixpoint(
+    return solver(
         mesh, op, x0, sr, n_rows=n,
-        combine=lambda x, dp: jnp.maximum(x, dp),
+        combine=combine_max,
         exact=True, max_iter=max_iter or n + 1,
     )
+
+
+def sharded_scc(coo: COO, mesh: Optional[Mesh] = None,
+                max_iter: Optional[int] = None,
+                mode: str = "auto") -> Tuple[np.ndarray, ShardedFixpointResult,
+                                             ShardedFixpointResult]:
+    """Full SCC on the mesh: forward ∧ backward max-label propagation,
+    component ids canonicalized to the minimum member vertex — the sharded
+    counterpart of algorithms.apps.scc (the reference's app/scc.cpp does
+    forward only)."""
+    from sparseharness_tpu.algorithms.apps import _relabel_components
+
+    fwd = sharded_scc_forward(coo, mesh=mesh, max_iter=max_iter, mode=mode)
+    bwd = sharded_scc_forward(coo.transpose(), mesh=mesh, max_iter=max_iter,
+                              mode=mode)
+    f = np.asarray(fwd.x, dtype=np.int64)
+    b = np.asarray(bwd.x, dtype=np.int64)
+    return _relabel_components(f * coo.shape[0] + b), fwd, bwd
 
 
 def sharded_eigenvector(coo: COO, mesh: Optional[Mesh] = None,
@@ -585,7 +743,7 @@ def sharded_eigenvector(coo: COO, mesh: Optional[Mesh] = None,
     x0 = np.full(n, 1.0 / np.sqrt(n), np.float32)
     res = solver(
         mesh, op, x0, sr, n_rows=n,
-        combine=lambda x, dp: dp,
+        combine=combine_keep_dp,
         exact=False, delta=delta, max_iter=max_iter, norm=True,
     )
     return _sharded_unpermute(res, inv)

@@ -162,10 +162,19 @@ def test_sharded_mode_auto_picks_halo_for_banded(mesh):
     )
     from sparseharness_tpu.semiring import MIN_PLUS as MP
 
+    from sparseharness_tpu.parallel.sharded_band import (
+        ShardedBandOperand, sharded_fixpoint_band,
+    )
+
     band = banded_coo(320, 2, seed=21)
     band = band.with_values(np.abs(band.vals) + 0.1)
+    # auto prefers the Pallas band operand (roofline local compute)
     op, solver = _build_sharded_auto(band, MP, mesh.devices.size, "auto")
-    assert isinstance(op, HaloEll) and solver is sharded_fixpoint_halo
+    assert isinstance(op, ShardedBandOperand)
+    assert solver is sharded_fixpoint_band
+    # forced halo mode still yields the O(halo) ELL pair
+    op_h, solver_h = _build_sharded_auto(band, MP, mesh.devices.size, "halo")
+    assert isinstance(op_h, HaloEll) and solver_h is sharded_fixpoint_halo
     # scattered graph falls back to all-gather
     g = random_graph_coo(300, 3.0, seed=22)
     op2, solver2 = _build_sharded_auto(g, MP, mesh.devices.size, "auto")
