@@ -24,6 +24,7 @@ from sparseharness_tpu.ops import pallas_bsr
 from sparseharness_tpu.ops import pallas_bsr_ell
 from sparseharness_tpu.ops import pallas_bsr_fused
 from sparseharness_tpu.ops import pallas_bsr_band
+from sparseharness_tpu.ops import pallas_sell
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,8 +80,13 @@ def get_variant(name: str) -> KernelVariant:
 
 
 #: structure-aware fallback chain for variant="auto": the streaming band
-#: kernel when the window is affine, the fused gather kernel when x fits
-#: VMEM, the pre-gathered strips otherwise, ELL as the universal fallback
+#: kernel when the window is affine, the fused gather kernel when the
+#: structure blocks well and x fits VMEM, the ragged sell kernel for
+#: power-law rows, the pre-gathered strips otherwise, ELL as the universal
+#: fallback
+# NOTE: sell enters the chain once its kernels are chip-validated (the
+# axis-0 dynamic_gather lowering is rejected by this TPU's Mosaic; the
+# axis-1+transpose redesign is in progress)
 AUTO_CHAIN = ("bsr_band", "bsr_fused", "bsr_ell", "ell")
 
 
@@ -211,6 +217,10 @@ def _dp_bsr_band(op, x, sr, *, n_rows):
     return pallas_bsr_band.dp_bsr_band(op, x, sr, n_rows=n_rows)
 
 
+def _dp_sell(op, x, sr, *, n_rows):
+    return pallas_sell.dp_sell(op, x, sr, n_rows=n_rows)
+
+
 register_variant(
     KernelVariant(
         name="bsr_band",
@@ -222,6 +232,21 @@ register_variant(
             "Gen-4 Pallas block-banded kernel: affine x windows (no gather, "
             "no scalar prefetch) - pure streaming for banded/stencil "
             "structure; falls back if the window is not affine"
+        ),
+    )
+)
+
+
+register_variant(
+    KernelVariant(
+        name="sell",
+        build=lambda coo, sr, g: pallas_sell.build_sell(coo, sr),
+        dp=_dp_sell,
+        description=(
+            "Gen-5 ragged/power-law kernel (the reference's rsa family, "
+            "example/kernel5.json): column-block-packed contrib stream via "
+            "two vectorized VMEM dynamic-gathers + lane-preserving "
+            "gather-reduce levels; no padding blow-up on zipf rows"
         ),
     )
 )

@@ -25,6 +25,13 @@ from sparseharness_tpu.parallel.sharded_band import (  # noqa: F401
     sharded_spmv_band,
     sharded_fixpoint_band,
 )
+from sparseharness_tpu.parallel.frontier import (  # noqa: F401
+    FrontierResult,
+    build_needed_cols,
+    sharded_fixpoint_frontier,
+    frontier_bfs,
+    frontier_sssp,
+)
 from sparseharness_tpu.parallel.auto import (  # noqa: F401
     shard_operand_rows,
     auto_sharded_spmv,
