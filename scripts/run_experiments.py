@@ -32,6 +32,11 @@ def main() -> int:
     p.add_argument("--synthetic", action="store_true",
                    help="add banded/power-law/random synthetic workloads")
     p.add_argument("--variants", nargs="*", default=None)
+    p.add_argument("--runfile", default=None,
+                   help="reference-style runfile CSV: sweep its launch "
+                        "geometries (mapped to block geometries) instead of "
+                        "the default grid; applied to each --variants entry "
+                        "(BASELINE config #2)")
     p.add_argument("--trials", type=int, default=5)
     p.add_argument("--inner-iters", type=int, default=1)
     p.add_argument("--outdir", required=True)
@@ -41,10 +46,14 @@ def main() -> int:
                    help="force the CPU backend (validation runs)")
     args = p.parse_args()
 
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: axon remote-compiles cost 30-120s per
+    # program; cached reruns are milliseconds (CLAUDE.md gotchas)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sh_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import numpy as np
 
@@ -54,7 +63,8 @@ def main() -> int:
     from sparseharness_tpu.gold import spmv_gold
     from sparseharness_tpu.algorithms import make_spmv_problem
     from sparseharness_tpu.harness import (
-        BenchmarkConfig, benchmark_spmv, default_sweep, to_jsonl, to_sql,
+        BenchmarkConfig, benchmark_spmv, default_sweep, load_runfile,
+        to_jsonl, to_sql,
     )
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -70,7 +80,12 @@ def main() -> int:
     if not matrices:
         p.error("no matrices: pass --matrices and/or --synthetic")
 
-    points = default_sweep(args.variants)
+    if args.runfile:
+        points = []
+        for v in (args.variants or ["bsr_pallas"]):
+            points.extend(load_runfile(args.runfile, v))
+    else:
+        points = default_sweep(args.variants)
     config = BenchmarkConfig(
         trials=args.trials, experiment_id=args.experiment_id,
         inner_iters=args.inner_iters,

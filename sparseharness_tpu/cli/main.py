@@ -183,8 +183,8 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
     if getattr(args, "roots", None):
         if not supports_roots:
             p.error(f"--roots is not supported for {kernel_name}")
-        if args.mesh > 1 or args.stepped:
-            p.error("--roots is not supported with --mesh/--stepped")
+        if args.stepped:
+            p.error("--roots is not supported with --stepped")
     coo = _setup(args)
     from sparseharness_tpu.harness import BenchmarkConfig, benchmark_fixpoint
     from sparseharness_tpu.harness.runner import benchmark_fixpoint_stepped
@@ -249,15 +249,23 @@ def sssp_main(argv: Optional[list] = None) -> int:
                             axis=1)
         return sssp_gold(coo, a.root)
 
+    def _sharded(coo, a, m):
+        if a.roots:
+            from sparseharness_tpu.parallel import sharded_multi_sssp
+
+            return sharded_multi_sssp(coo, _roots_list(a), mesh=m,
+                                      max_iter=a.max_iter, reorder=a.reorder)
+        return sharded_sssp(coo, a.root, mesh=m, max_iter=a.max_iter,
+                            reorder=a.reorder)
+
     return _fixpoint_main(
         "SSSP min-plus fixpoint (app/sssp.cpp); --roots batches sources "
-        "into one SpMM fixpoint",
+        "into one SpMM fixpoint (composes with --mesh: row-sharded SpMM)",
         _solve,
         _gold,
         needs_root=True, argv=argv, kernel_name="sssp", algo="sssp",
         supports_roots=True,
-        sharded_solve=lambda coo, a, m: sharded_sssp(
-            coo, a.root, mesh=m, max_iter=a.max_iter, reorder=a.reorder),
+        sharded_solve=_sharded,
     )
 
 
@@ -280,14 +288,23 @@ def bfs_main(argv: Optional[list] = None) -> int:
                             axis=1)
         return bfs_reach_gold(coo, a.root)
 
+    def _sharded(coo, a, m):
+        if a.roots:
+            from sparseharness_tpu.parallel import sharded_multi_bfs
+
+            return sharded_multi_bfs(coo, _roots_list(a), mesh=m,
+                                     max_iter=a.max_iter, reorder=a.reorder)
+        return sharded_bfs(coo, a.root, mesh=m, max_iter=a.max_iter,
+                           reorder=a.reorder)
+
     return _fixpoint_main(
-        "BFS or/and fixpoint (app/bfs.cpp); --roots batches sources",
+        "BFS or/and fixpoint (app/bfs.cpp); --roots batches sources "
+        "(composes with --mesh: row-sharded SpMM)",
         _solve,
         _gold,
         needs_root=True, argv=argv, exact=True, kernel_name="bfs", algo="bfs",
         supports_roots=True,
-        sharded_solve=lambda coo, a, m: sharded_bfs(
-            coo, a.root, mesh=m, max_iter=a.max_iter, reorder=a.reorder),
+        sharded_solve=_sharded,
     )
 
 

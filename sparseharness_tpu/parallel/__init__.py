@@ -18,6 +18,8 @@ from sparseharness_tpu.parallel.sharded import (  # noqa: F401
     sharded_eigenvector,
     sharded_scc,
     sharded_scc_forward,
+    sharded_multi_sssp,
+    sharded_multi_bfs,
 )
 from sparseharness_tpu.parallel.sharded_band import (  # noqa: F401
     ShardedBandOperand,

@@ -98,13 +98,18 @@ def _place(mesh: Mesh, op: ShardedEll) -> ShardedEll:
 
 def _local_dp(cols, vals, x_full, sr: Semiring):
     """Per-device dp over the local row chunk; x_full is the gathered
-    (D·chunk,)-padded vector, cols index it globally.
+    (D·chunk,)-padded vector — or a (D·chunk, m) block of m right-hand
+    sides (batched multi-source SpMM fixpoint), in which case each gather
+    fetches a whole m-wide row (the 128-lane-row gather CLAUDE.md calls
+    "fast-ish", amortizing the matrix stream across all m sources).
 
     NOTE: this is the *correctness fallback* for structures the Pallas
     kernels can't take (per-element XLA gather, slow on TPU —
     CLAUDE.md 'Environment gotchas'); bandable matrices route through
     parallel/sharded_band.py instead (mode="auto")."""
-    contrib = sr.mul(x_full[cols], vals)
+    gathered = x_full[cols]              # (rows, W) or (rows, W, m)
+    v = vals if gathered.ndim == vals.ndim else vals[..., None]
+    contrib = sr.mul(gathered, v)
     dp = sr.add_reduce(contrib, axis=1)
     # ⊕-identity clamp (saturate min_plus overflow, normalize empties)
     return sr.add(dp, jnp.full_like(dp, jnp.asarray(sr.zero, dp.dtype)))
@@ -349,22 +354,26 @@ def _run_ell_fixpoint(
     aux_update: Optional[Callable],
 ) -> ShardedFixpointResult:
     """Shared gather/halo ELL fixpoint: while_loop inside shard_map,
-    psum'd convergence flag, optional per-row aux (BFS levels)."""
+    psum'd convergence flag, optional per-row aux (BFS levels).
+
+    ``x0`` may be (n,) — one source — or (n, m): a block of m sources
+    solved in one SpMM fixpoint (rows sharded, source axis replicated),
+    the sharded counterpart of algorithms.apps.multi_sssp/multi_bfs."""
     D, chunk, _ = op.cols.shape
     r_pad = D * chunk
     zero = jnp.asarray(sr.zero, sr.dtype)
-    x_pad = jnp.pad(
-        jnp.asarray(x0, dtype=sr.dtype), (0, r_pad - len(x0)),
-        constant_values=zero,
-    )
+    x0 = jnp.asarray(x0, dtype=sr.dtype)
+    row_pad = ((0, r_pad - x0.shape[0]),) + ((0, 0),) * (x0.ndim - 1)
+    x_pad = jnp.pad(x0, row_pad, constant_values=zero)
+    xspec = P(ROWS_AXIS, *([None] * (x0.ndim - 1)))
     with_aux = aux_update is not None
     if with_aux:
-        aux_pad = jnp.pad(jnp.asarray(aux0), (0, r_pad - len(aux0)))
+        aux_pad = jnp.pad(jnp.asarray(aux0), row_pad)
 
     def build():
-        out_specs = (P(ROWS_AXIS),) * (2 if with_aux else 1) + (P(), P())
+        out_specs = (xspec,) * (2 if with_aux else 1) + (P(), P())
         in_specs = (P(ROWS_AXIS, None, None), P(ROWS_AXIS, None, None),
-                    P(ROWS_AXIS)) + ((P(ROWS_AXIS),) if with_aux else ())
+                    xspec) + ((xspec,) if with_aux else ())
 
         @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
         def solve(cols, vals, x_local, *maybe_aux):
@@ -427,15 +436,15 @@ def _run_ell_fixpoint(
     key = (
         _mesh_key(mesh), "fix", op.cols.shape, str(op.vals.dtype), sr.name,
         halo, combine, exact, float(delta), int(max_iter), norm, aux_update,
-        str(aux_pad.dtype) if with_aux else None,
+        str(aux_pad.dtype) if with_aux else None, x_pad.shape[1:],
     )
     sh3 = NamedSharding(mesh, P(ROWS_AXIS, None, None))
     cols = jax.device_put(op.cols, sh3)
     vals = jax.device_put(op.vals, sh3)
-    x_sh = jax.device_put(x_pad, NamedSharding(mesh, P(ROWS_AXIS)))
+    x_sh = jax.device_put(x_pad, NamedSharding(mesh, xspec))
     solver = _cached(key, build)
     if with_aux:
-        aux_sh = jax.device_put(aux_pad, NamedSharding(mesh, P(ROWS_AXIS)))
+        aux_sh = jax.device_put(aux_pad, NamedSharding(mesh, xspec))
         x_fin, aux_fin, iters, done = solver(cols, vals, x_sh, aux_sh)
         return ShardedFixpointResult(
             x=x_fin[:n_rows], iterations=int(iters[0]),
@@ -745,5 +754,83 @@ def sharded_eigenvector(coo: COO, mesh: Optional[Mesh] = None,
         mesh, op, x0, sr, n_rows=n,
         combine=combine_keep_dp,
         exact=False, delta=delta, max_iter=max_iter, norm=True,
+    )
+    return _sharded_unpermute(res, inv)
+
+
+# ------------------------------------------------- batched multi-source
+
+
+def _build_sharded_spmm(coo: COO, sr: Semiring, n_shards: int, mode: str):
+    """Operand + solver for the batched (n, m) SpMM fixpoint. The band
+    solver is single-source (SpMV) only, so "auto" prefers the halo-ELL
+    window (O(halo·m) ICI per step) and falls back to all-gather."""
+    if mode == "band":
+        raise NotImplementedError(
+            "mode='band' is single-source only; multi-source fixpoints run "
+            "the ELL SpMM path (mode auto/halo/gather)"
+        )
+    if mode not in ("auto", "halo", "gather"):
+        raise ValueError(f"unknown sharded mode {mode!r}")
+    if mode in ("auto", "halo"):
+        try:
+            op, _ = build_sharded_ell_halo(coo, sr, n_shards)
+            return op, sharded_fixpoint_halo
+        except ValueError:
+            if mode == "halo":
+                raise
+    op, _ = build_sharded_ell(coo, sr, n_shards)
+    return op, sharded_fixpoint
+
+
+def sharded_multi_sssp(coo: COO, roots, mesh: Optional[Mesh] = None,
+                       max_iter: Optional[int] = None, mode: str = "auto",
+                       reorder: Optional[str] = None) -> ShardedFixpointResult:
+    """Batched SSSP across the mesh: .x[:, j] == sharded_sssp(coo, roots[j]).x.
+
+    One min-plus SpMM fixpoint over a row-sharded (n, m) distance block —
+    the sharded counterpart of algorithms.apps.multi_sssp (m sources share
+    each iteration's matrix pass and exchange)."""
+    from sparseharness_tpu.algorithms.apps import _as_roots
+
+    mesh = mesh or make_mesh()
+    r = _as_roots(coo, roots)
+    coo, inv, r = _sharded_reorder_pre(coo, reorder, r)
+    sr = MIN_PLUS
+    op, solver = _build_sharded_spmm(coo, sr, mesh.devices.size, mode)
+    n, m = coo.shape[0], len(r)
+    x0 = np.full((n, m), FLT_MAX, np.float32)
+    x0[r, np.arange(m)] = 0.0
+    res = solver(
+        mesh, op, x0, sr, n_rows=n,
+        combine=combine_min,
+        exact=True, max_iter=max_iter if max_iter is not None else n,
+    )
+    return _sharded_unpermute(res, inv)
+
+
+def sharded_multi_bfs(coo: COO, roots, mesh: Optional[Mesh] = None,
+                      max_iter: Optional[int] = None, mode: str = "auto",
+                      reorder: Optional[str] = None) -> ShardedFixpointResult:
+    """Batched BFS across the mesh: .x[:, j] reachability and .aux[:, j]
+    int32 levels from roots[j] — the sharded counterpart of
+    algorithms.apps.multi_bfs."""
+    from sparseharness_tpu.algorithms.apps import _as_roots
+
+    mesh = mesh or make_mesh()
+    r = _as_roots(coo, roots)
+    coo, inv, r = _sharded_reorder_pre(coo, reorder, r)
+    sr = OR_AND
+    op, solver = _build_sharded_spmm(coo, sr, mesh.devices.size, mode)
+    n, m = coo.shape[0], len(r)
+    x0 = np.zeros((n, m), bool)
+    x0[r, np.arange(m)] = True
+    levels0 = np.full((n, m), -1, np.int32)
+    levels0[r, np.arange(m)] = 0
+    res = solver(
+        mesh, op, x0, sr, n_rows=n,
+        combine=combine_or,
+        exact=True, max_iter=max_iter or n + 1,
+        aux0=levels0, aux_update=bfs_level_stamp,
     )
     return _sharded_unpermute(res, inv)

@@ -259,3 +259,49 @@ def test_sharded_fixpoint_checkpointed_resumes(mesh, tmp_path):
         max_iter=10_000)
     np_.testing.assert_array_equal(np_.asarray(resumed.x),
                                    np_.asarray(direct.x))
+
+
+# ------------------------------------------------- batched multi-source
+
+
+def test_sharded_multi_sssp_matches_per_root(graph, mesh):
+    """Sharded (n, m) SpMM fixpoint == column-stacked single-source golds
+    (VERDICT r1 'next #7': --roots × --mesh)."""
+    from sparseharness_tpu.parallel import sharded_multi_sssp
+
+    roots = [0, 7, 42]
+    res = sharded_multi_sssp(graph, roots, mesh=mesh)
+    assert res.x.shape == (graph.shape[0], len(roots))
+    gold = np.stack([sssp_gold(graph, r) for r in roots], axis=1)
+    np.testing.assert_allclose(np.asarray(res.x), gold, rtol=1e-5)
+
+
+def test_sharded_multi_bfs_levels_match_single_device(graph, mesh):
+    from sparseharness_tpu.algorithms import multi_bfs
+    from sparseharness_tpu.parallel import sharded_multi_bfs
+
+    roots = [3, 11]
+    res = sharded_multi_bfs(graph, roots, mesh=mesh)
+    single = multi_bfs(graph, roots)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(single.x))
+    np.testing.assert_array_equal(np.asarray(res.aux), np.asarray(single.aux))
+    for j, r in enumerate(roots):
+        np.testing.assert_array_equal(
+            np.asarray(res.x)[:, j], bfs_reach_gold(graph, r)
+        )
+
+
+def test_sharded_multi_sssp_reorder_rcm(graph, mesh):
+    from sparseharness_tpu.parallel import sharded_multi_sssp
+
+    roots = [0, 9]
+    res = sharded_multi_sssp(graph, roots, mesh=mesh, reorder="rcm")
+    gold = np.stack([sssp_gold(graph, r) for r in roots], axis=1)
+    np.testing.assert_allclose(np.asarray(res.x), gold, rtol=1e-5)
+
+
+def test_sharded_multi_rejects_band_mode(graph, mesh):
+    from sparseharness_tpu.parallel import sharded_multi_sssp
+
+    with pytest.raises(NotImplementedError):
+        sharded_multi_sssp(graph, [0], mesh=mesh, mode="band")
