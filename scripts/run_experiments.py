@@ -60,7 +60,7 @@ def main() -> int:
     from sparseharness_tpu.formats import (
         read_mtx, banded_coo, power_law_coo, random_coo,
     )
-    from sparseharness_tpu.gold import spmv_gold
+    from sparseharness_tpu.gold import spmv_gold, spmv_abs_bound
     from sparseharness_tpu.algorithms import make_spmv_problem
     from sparseharness_tpu.harness import (
         BenchmarkConfig, benchmark_spmv, default_sweep, load_runfile,
@@ -94,7 +94,7 @@ def main() -> int:
     n_done = n_skip = n_fail = 0
     with open(status_path, "a") as status:
         for mname, coo in matrices.items():
-            gold = None
+            gold = scale = None
             for pt in points:
                 tag = f"{mname}__{pt.name().replace('@', '_')}"
                 out_path = os.path.join(args.outdir, tag + ".jsonl")
@@ -110,6 +110,9 @@ def main() -> int:
                             coo, np.asarray(prob.x0), np.asarray(prob.y),
                             prob.sr,
                         )
+                        # backward-error scale: cancellation-heavy inputs
+                        # (1138_bus rows sum ≈ 0) need |A||x|-relative checks
+                        scale = spmv_abs_bound(coo, np.asarray(prob.x0))
                     import dataclasses as _dc
 
                     cfg = config
@@ -119,7 +122,7 @@ def main() -> int:
                         cfg = _dc.replace(config, delta=max(config.delta, 2e-2))
                     res = benchmark_spmv(
                         prob, gold=gold, config=cfg, geometry=pt.geometry,
-                        matrix_name=mname, nnz=coo.nnz,
+                        matrix_name=mname, nnz=coo.nnz, gold_scale=scale,
                     )
                 except NotImplementedError as e:
                     status.write(f"SKIP {tag}: {e}\n")

@@ -116,6 +116,20 @@ def _run_width(length: int) -> int:
 def build_sell(coo: COO, sr: Semiring, xrows_max: int = XROWS_MAX,
                slab_nnz: int = SLAB_NNZ,
                value_dtype: str = "float32") -> SellOperand:
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        # This design rides multi-vreg sublane tpu.dynamic_gather, which
+        # this Mosaic build rejects ("Multiple source vregs along gather
+        # dimension" — scripts/probe_sell_prims.py maps what IS supported:
+        # lane crossbars with minor dim exactly 128, single-vreg sublane
+        # gathers, dynamic scalar-indexed VMEM row/slice loads). The
+        # crossbar-based redesign is ops/pallas_sell2.py; this v1 kernel
+        # remains correct in interpret mode and as design documentation.
+        raise NotImplementedError(
+            "sell v1 needs multi-vreg dynamic_gather (unsupported by this "
+            "Mosaic build); use the 'sell2' variant"
+        )
     n, c = coo.shape
     dtype, _, _, _, zero, as_int = _carrier(sr)
     np_dtype = np.int32 if as_int else np.dtype(sr.dtype)
