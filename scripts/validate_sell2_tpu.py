@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Chip-validate the sell2 ragged kernel: gold across all 7 semirings on a
+power-law matrix, then chained-timing throughput vs the ell/coo_seg
+fallbacks on a zipf matrix (α=1.5, ≥1M nnz) — the VERDICT r1 'missing #4'
+done-criterion (≥10× ell). Writes results/sell2_tpu.json.
+
+Run from /root/repo (axon backend needs cwd importability).
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sh_tpu_jax_cache")
+    print("backend:", jax.default_backend(), flush=True)
+
+    from sparseharness_tpu.formats import power_law_coo
+    from sparseharness_tpu.gold import spmv_gold, check_result, Correctness
+    from sparseharness_tpu.gold.spmv import spmv_abs_bound
+    from sparseharness_tpu.harness.runner import BenchmarkConfig, benchmark_spmv
+    from sparseharness_tpu.algorithms.apps import make_spmv_problem
+    from sparseharness_tpu.ops import Geometry, build_operand, spmv
+    from sparseharness_tpu.semiring import REGISTRY, get_semiring
+
+    report = {"backend": jax.default_backend(), "correctness": {},
+              "throughput": {}}
+
+    # ---- correctness: all semirings on a power-law matrix ---------------
+    coo_f = power_law_coo(3000, 60_000, alpha=1.5, seed=11)
+    rng = np.random.default_rng(12)
+    for srname in sorted(REGISTRY):
+        sr = get_semiring(srname)
+        dt = np.dtype(sr.dtype)
+        if dt == np.bool_:
+            coo = coo_f.with_values((coo_f.vals != 0).astype(np.bool_))
+            x = rng.random(coo.shape[1]) < 0.3
+            y = rng.random(coo.shape[0]) < 0.3
+        elif np.issubdtype(dt, np.integer):
+            coo = coo_f.with_values((coo_f.vals * 50).astype(np.int32))
+            x = rng.integers(0, 50, coo.shape[1]).astype(dt)
+            y = rng.integers(0, 50, coo.shape[0]).astype(dt)
+        else:
+            coo = coo_f
+            x = rng.uniform(0.1, 1.0, coo.shape[1]).astype(dt)
+            y = rng.uniform(0.1, 1.0, coo.shape[0]).astype(dt)
+        gold = spmv_gold(coo, x, y, sr)
+        scale = (spmv_abs_bound(coo, x)
+                 if sr.name in ("plus_times", "max_times") else None)
+        op = build_operand(coo, sr, "sell2", Geometry())
+        out = np.asarray(spmv(op, jnp.asarray(x), jnp.asarray(y), sr=sr,
+                              variant="sell2", n_rows=coo.shape[0]))
+        verdict = check_result(out, gold, delta=1e-4, scale=scale)
+        report["correctness"][srname] = verdict.name
+        print(f"sell2 × {srname}: {verdict.name}", flush=True)
+
+    # ---- throughput: zipf α=1.5, ≥1M nnz --------------------------------
+    big = power_law_coo(500_000, 2_000_000, alpha=1.5, seed=13)
+    print(f"zipf matrix: n={big.shape[0]} nnz={big.nnz}", flush=True)
+    cfg = BenchmarkConfig(trials=5, inner_iters=32)
+    for variant, geom in (
+        ("sell2", Geometry()),
+        ("sell2", Geometry(value_dtype="bfloat16")),
+        ("ell", Geometry()),
+        ("coo_seg", Geometry()),
+    ):
+        label = f"{variant}@{geom}"
+        try:
+            prob = make_spmv_problem(big, variant=variant, geometry=geom,
+                                     seed=14)
+            res = benchmark_spmv(prob, gold=None, config=cfg, geometry=geom,
+                                 matrix_name="zipf500k", nnz=big.nnz)
+            report["throughput"][label] = {
+                "gnnz_per_s": res.gnnz_per_s,
+                "roofline_frac": res.roofline_frac,
+                "time_ns": res.median_ns,
+            }
+            print(f"{label}: {res.gnnz_per_s:.3f} Gnnz/s "
+                  f"({res.roofline_frac*100:.1f}% roofline)", flush=True)
+        except NotImplementedError as e:
+            report["throughput"][label] = {"skipped": str(e)}
+            print(f"{label}: skipped ({e})", flush=True)
+
+    s2 = report["throughput"].get("sell2@8x128", {}).get("gnnz_per_s", 0.0)
+    el = report["throughput"].get("ell@8x128", {}).get("gnnz_per_s", 0.0)
+    report["sell2_vs_ell"] = (s2 / el) if el else None
+    print(f"sell2 vs ell: {report['sell2_vs_ell']}", flush=True)
+
+    with open("results/sell2_tpu.json", "w") as f:
+        json.dump(report, f, indent=1)
+    ok = all(v == "CORRECT" for v in report["correctness"].values())
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

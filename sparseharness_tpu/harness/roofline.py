@@ -68,6 +68,10 @@ def variant_bytes(variant: str, operand, x_bytes: int, out_bytes: int) -> int:
         # read-modify-write per nonzero
         nnz_pad = max(int(a.shape[0]) for a in leaves)
         return operand_bytes + 2 * nnz_pad * itemsize + out_bytes
+    if variant == "sell2":
+        # the per-chunk transposed xT is materialized by XLA each SpMV
+        # (read x + write xT) before the kernel streams it: 3 x passes
+        return operand_bytes + 3 * x_bytes + out_bytes
     return operand_bytes + x_bytes + out_bytes
 
 

@@ -25,6 +25,7 @@ from sparseharness_tpu.ops import pallas_bsr_ell
 from sparseharness_tpu.ops import pallas_bsr_fused
 from sparseharness_tpu.ops import pallas_bsr_band
 from sparseharness_tpu.ops import pallas_sell
+from sparseharness_tpu.ops import pallas_sell2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,13 +82,10 @@ def get_variant(name: str) -> KernelVariant:
 
 #: structure-aware fallback chain for variant="auto": the streaming band
 #: kernel when the window is affine, the fused gather kernel when the
-#: structure blocks well and x fits VMEM, the ragged sell kernel for
-#: power-law rows, the pre-gathered strips otherwise, ELL as the universal
-#: fallback
-# NOTE: sell enters the chain once its kernels are chip-validated (the
-# axis-0 dynamic_gather lowering is rejected by this TPU's Mosaic; the
-# axis-1+transpose redesign is in progress)
-AUTO_CHAIN = ("bsr_band", "bsr_fused", "bsr_ell", "ell")
+#: structure blocks well and x fits VMEM, the all-crossbar sell2 kernel
+#: for ragged/power-law rows (chip-validated; no VMEM cap on x), the
+#: pre-gathered strips otherwise, ELL as the universal fallback
+AUTO_CHAIN = ("bsr_band", "bsr_fused", "sell2", "bsr_ell", "ell")
 
 
 def build_operand(coo: COO, sr: Semiring, variant: str = "ell",
@@ -247,6 +245,28 @@ register_variant(
             "example/kernel5.json): column-block-packed contrib stream via "
             "two vectorized VMEM dynamic-gathers + lane-preserving "
             "gather-reduce levels; no padding blow-up on zipf rows"
+        ),
+    )
+)
+
+
+def _dp_sell2(op, x, sr, *, n_rows):
+    return pallas_sell2.dp_sell2(op, x, sr, n_rows=n_rows)
+
+
+register_variant(
+    KernelVariant(
+        name="sell2",
+        build=lambda coo, sr, g: pallas_sell2.build_sell2(
+            coo, sr, value_dtype=g.value_dtype
+        ),
+        dp=_dp_sell2,
+        description=(
+            "Gen-6 ragged/power-law kernel (the reference's rsa family, "
+            "example/kernel5.json), chip-validated: all-crossbar panel "
+            "pipeline — T-crossbar-T x staging from 16K-col chunks, lane-"
+            "crossbar phase A, XOR-butterfly row reduce with capture/route "
+            "crossbars; 3 words/slot HBM traffic, no VMEM cap on x"
         ),
     )
 )

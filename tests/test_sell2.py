@@ -1,0 +1,121 @@
+"""ops/pallas_sell2: the all-crossbar ragged kernel's layout edge cases.
+
+The variant×semiring gold matrix in test_spmv_variants.py covers the small
+square case; here we exercise the layout machinery the builder must get
+right: multi-slab row spaces (> 16384 rows), multi-chunk column spaces
+(> 16384 cols, panels bound to one chunk each), hub rows spanning panels,
+duplicate folding, empty slabs, and the bf16 value store.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sparseharness_tpu.formats import power_law_coo, random_coo
+from sparseharness_tpu.formats.sparse import COO
+from sparseharness_tpu.gold import spmv_gold, check_result, Correctness
+from sparseharness_tpu.ops import Geometry, build_operand, spmv
+from sparseharness_tpu.ops.pallas_sell2 import SLAB_ROWS, CHUNK_COLS, build_sell2
+from sparseharness_tpu.semiring import get_semiring
+
+
+def _run(coo, srname="plus_times", geometry=Geometry(), delta=1e-4, seed=0):
+    sr = get_semiring(srname)
+    rng = np.random.default_rng(seed)
+    dt = np.dtype(sr.dtype)
+    if dt == np.bool_:
+        x = rng.random(coo.shape[1]) < 0.3
+        y = rng.random(coo.shape[0]) < 0.3
+    elif np.issubdtype(dt, np.integer):
+        x = rng.integers(0, 50, coo.shape[1]).astype(dt)
+        y = rng.integers(0, 50, coo.shape[0]).astype(dt)
+    else:
+        x = rng.uniform(0.1, 1.0, coo.shape[1]).astype(dt)
+        y = rng.uniform(0.1, 1.0, coo.shape[0]).astype(dt)
+    gold = spmv_gold(coo, x, y, sr)
+    op = build_operand(coo, sr, "sell2", geometry)
+    out = np.asarray(
+        spmv(op, jnp.asarray(x), jnp.asarray(y), sr=sr, variant="sell2",
+             n_rows=coo.shape[0])
+    )
+    assert check_result(out, gold, delta=delta) is Correctness.CORRECT, (
+        f"max|Δ|={np.max(np.abs(out.astype(np.float64) - gold.astype(np.float64)))}"
+    )
+
+
+def test_multi_slab_rows():
+    # rows span 2 slabs (> 16384); rectangular
+    coo = random_coo(SLAB_ROWS + 3000, 900, 40_000, seed=1)
+    _run(coo)
+
+
+def test_multi_chunk_cols():
+    # cols span 3 chunks (> 2·16384): panels must bind to single chunks
+    coo = random_coo(700, 2 * CHUNK_COLS + 5000, 30_000, seed=2)
+    _run(coo)
+
+
+def test_power_law_min_plus():
+    coo = power_law_coo(3000, 30_000, alpha=1.5, seed=3)
+    _run(coo, "min_plus")
+
+
+def test_power_law_max_right():
+    coo = power_law_coo(2000, 20_000, alpha=1.5, seed=4)
+    coo = coo.with_values((coo.vals * 50).astype(np.int32))
+    _run(coo, "max_right", delta=0)
+
+
+def test_hub_row_spans_panels():
+    # one row with 600 entries: > 127 per panel forces multi-panel runs
+    # accumulated through the out tile; plus background noise
+    rng = np.random.default_rng(5)
+    hub_cols = rng.choice(4000, 600, replace=False)
+    bg = random_coo(1200, 4000, 5000, seed=6)
+    rows = np.r_[np.full(600, 7), bg.rows]
+    cols = np.r_[hub_cols, bg.cols]
+    vals = np.r_[rng.uniform(0.1, 1.0, 600).astype(np.float32), bg.vals]
+    coo = COO(rows.astype(np.int32), cols.astype(np.int32), vals, (1200, 4000))
+    _run(coo)
+
+
+def test_duplicates_fold():
+    rows = np.array([0, 0, 0, 5, 5, 300], np.int32)
+    cols = np.array([3, 3, 3, 9, 9, 250], np.int32)
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], np.float32)
+    coo = COO(rows, cols, vals, (400, 400))
+    _run(coo)
+
+
+def test_empty_rows_and_trailing_pad():
+    # entries only in the first few rows; most of the padded row space empty
+    rows = np.array([0, 1, 2], np.int32)
+    cols = np.array([10, 20, 30], np.int32)
+    vals = np.array([1.0, 2.0, 3.0], np.float32)
+    coo = COO(rows, cols, vals, (5000, 5000))
+    _run(coo)
+
+
+def test_bf16_store():
+    coo = random_coo(800, 800, 6000, seed=7)
+    _run(coo, geometry=Geometry(value_dtype="bfloat16"), delta=2e-2)
+
+
+def test_single_entry_runs():
+    # every row has exactly 1 entry → all runs width 2 with identity pad
+    n = 2000
+    rows = np.arange(n, dtype=np.int32)
+    cols = ((rows * 37) % n).astype(np.int32)
+    vals = np.linspace(0.1, 1.0, n).astype(np.float32)
+    _run(COO(rows, cols, vals, (n, n)))
+
+
+def test_layout_stats():
+    # builder invariants: slab count, per-slab panels > 0, depth within 1..7
+    coo = power_law_coo(3000, 40_000, alpha=1.5, seed=8)
+    sr = get_semiring("plus_times")
+    op = build_sell2(coo, sr)
+    assert sum(l.rows for l in op.layouts) >= 3000
+    for lay in op.layouts:
+        assert 1 <= lay.depth <= 7
+        assert lay.rows % 1024 == 0

@@ -289,7 +289,8 @@ def test_duplicate_entries_fold_consistently():
 def test_blocked_builders_refuse_pathological_scatter():
     """A shuffled band (~1 nnz per dense tile) must make the blocked
     builders raise instead of allocating hundreds of GB of padded tiles;
-    variant='auto' then lands on an index-based layout."""
+    variant='auto' then lands on the crossbar ragged kernel (sell2), whose
+    packed-stream layout has no dense-tile blowup."""
     from sparseharness_tpu.formats import banded_coo, permute_coo
     from sparseharness_tpu.ops import build_operand_auto
 
@@ -302,4 +303,4 @@ def test_blocked_builders_refuse_pathological_scatter():
         with pytest.raises(NotImplementedError):
             build_operand(shuffled, sr, variant)
     name, _ = build_operand_auto(shuffled, sr)
-    assert name == "ell"
+    assert name == "sell2"
