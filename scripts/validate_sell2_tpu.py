@@ -85,14 +85,50 @@ def main():
             }
             print(f"{label}: {res.gnnz_per_s:.3f} Gnnz/s "
                   f"({res.roofline_frac*100:.1f}% roofline)", flush=True)
-        except NotImplementedError as e:
-            report["throughput"][label] = {"skipped": str(e)}
-            print(f"{label}: skipped ({e})", flush=True)
+        except (NotImplementedError, MemoryError) as e:
+            # ell legitimately cannot build this matrix: width = max row
+            # length 267k ⇒ a 500 GB padded operand
+            report["throughput"][label] = {"skipped": str(e)[:200]}
+            print(f"{label}: skipped ({str(e)[:120]})", flush=True)
+        with open("results/sell2_tpu.json", "w") as f:
+            json.dump(report, f, indent=1)
 
-    s2 = report["throughput"].get("sell2@8x128", {}).get("gnnz_per_s", 0.0)
-    el = report["throughput"].get("ell@8x128", {}).get("gnnz_per_s", 0.0)
+    # ---- the ≥10×-ell criterion needs a matrix ell can even build: cap
+    # row lengths at 512 (ell width) while keeping the zipf tail ----------
+    capped = power_law_coo(262_144, 2_400_000, alpha=1.5, seed=15)
+    lens = np.bincount(capped.rows, minlength=capped.shape[0])
+    order = np.argsort(capped.rows, kind="stable")
+    rank = np.arange(capped.nnz) - np.r_[
+        0, np.cumsum(lens)][capped.rows[order]]
+    keep = np.zeros(capped.nnz, bool)
+    keep[order] = rank < 512
+    from sparseharness_tpu.formats.sparse import COO
+    capped = COO(capped.rows[keep], capped.cols[keep], capped.vals[keep],
+                 capped.shape)
+    print(f"capped zipf: n={capped.shape[0]} nnz={capped.nnz}", flush=True)
+    report["capped"] = {"n": capped.shape[0], "nnz": int(capped.nnz)}
+    for variant in ("sell2", "ell", "coo_seg"):
+        label = f"capped/{variant}"
+        try:
+            prob = make_spmv_problem(capped, variant=variant, seed=16)
+            res = benchmark_spmv(prob, gold=None, config=cfg,
+                                 matrix_name="zipf262k_cap512",
+                                 nnz=capped.nnz)
+            report["throughput"][label] = {
+                "gnnz_per_s": res.gnnz_per_s,
+                "roofline_frac": res.roofline_frac,
+            }
+            print(f"{label}: {res.gnnz_per_s:.3f} Gnnz/s", flush=True)
+        except (NotImplementedError, MemoryError) as e:
+            report["throughput"][label] = {"skipped": str(e)[:200]}
+            print(f"{label}: skipped", flush=True)
+        with open("results/sell2_tpu.json", "w") as f:
+            json.dump(report, f, indent=1)
+
+    s2 = report["throughput"].get("capped/sell2", {}).get("gnnz_per_s", 0.0)
+    el = report["throughput"].get("capped/ell", {}).get("gnnz_per_s", 0.0)
     report["sell2_vs_ell"] = (s2 / el) if el else None
-    print(f"sell2 vs ell: {report['sell2_vs_ell']}", flush=True)
+    print(f"sell2 vs ell (capped zipf): {report['sell2_vs_ell']}", flush=True)
 
     with open("results/sell2_tpu.json", "w") as f:
         json.dump(report, f, indent=1)

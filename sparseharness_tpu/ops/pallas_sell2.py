@@ -17,39 +17,46 @@ compile helper — probe 5 stage 4).
 Everything is organised around (128, 128) *panels* of a packed entry
 stream. For each panel the kernel does, entirely in registers:
 
-1. **Staging.** Each stream sublane s is bound at build time to one
-   128-wide block-row of x inside one 16K-column *chunk*; the chunk's
+1. **Staging.** Each stream sublane s is bound at build time to a *pair*
+   of 128-wide block-rows of x inside one 16K-column *chunk*; the chunk's
    transposed tile xT (built once per SpMV by XLA) is block-streamed via a
-   scalar-prefetched per-panel chunk id. ``y[l, s] = xT[l, blk[s]]`` is one
-   lane crossbar; ``staged = y.T`` puts x rows back sublane-major. No
+   scalar-prefetched per-panel chunk id. ``y_w[l, s] = xT[l, blk_w[s]]``
+   (one lane crossbar per way) then a transpose puts x rows back
+   sublane-major. Two ways per sublane halve the per-block padding floor
+   for scattered tails (a sublane whose two blocks each hold a handful of
+   entries carries both); a per-slot way bit picks the staged row. No
    scalar row loads (those measure 5.1 Gslot/s — probe 4) and no VMEM cap
    on the x size.
-2. **Phase A (contrib).** ``w[s, l] = staged[s, lanesel[s, l]]`` (lane
-   crossbar) selects each entry's x element; ``contrib = mul(w, vals)``.
-   An entry at slot (s, l) must have ``col // 128 == blk[s]`` and
-   ``row % 128 == l`` — the (block, row-lane) histogram packing.
+2. **Phase A (contrib).** ``w_w[s, l] = staged_w[s, lanesel[s, l]]`` (lane
+   crossbar per way), way-selected, then ``contrib = mul(w, vals)``.
+   An entry at slot (s, l) must have ``col // 128 ∈ {blk0[s], blk1[s]}``
+   and ``row % 128 == l`` — the (block-pair, row-lane) histogram packing.
 3. **Phase B (row reduce).** ``tc = contrib.T`` makes each row-class
    r%128 a sublane whose 128 lanes are the panel's stream sublanes. Two
    *align* crossbars gather every row's entries into power-of-two-aligned
-   runs over 256 virtual slots (two tiles); a 7-level XOR **butterfly**
+   runs over 256 virtual slots (two tiles); a ≤7-level XOR **butterfly**
    ``t_k = add(t_k-1, t_k-1[:, j ^ 2^(k-1)])`` reduces all runs at once —
    after level k every lane uniformly holds the ⊕ of its aligned 2^k
    block, so a width-2^k run is complete at its offset lane at level k,
-   where a capture mask freezes it into ``final``. One route crossbar per
-   tile then reads, for every output row, its run's captured value. Rows
-   with no entries in the panel route to a never-captured lane (identity).
-   ``out ⊕= route.T``.
+   where a capture mask freezes it into ``final``. Route crossbars then
+   read, for every output row, its run's captured value — two route sets
+   (lo/hi) cover 256 out slots so a slab spans 32K rows, halving the
+   per-slab block-incidence padding. Rows with no entries in the panel
+   route to a never-captured lane (identity). ``out ⊕= route.T``.
 
 Per-panel HBM traffic is 3 words/slot (vals + two packed index words =
 12 B/slot f32, 10 B bf16); all index fields ride two int32 arrays::
 
-  wordA[l, j] = a1 | a2<<7 | cap1<<14 | cap2<<17      (align + capture)
-  wordB[u, v] = lanesel | route_lane<<7 | route_tile<<14 | blk<<22
+  wordA[l, v] = a1 | a2<<7 | cap1<<14 | cap2<<17
+                | route_hi_lane<<20 | route_hi_tile<<27
+  wordB[u, v] = lanesel | route_lo_lane<<7 | route_lo_tile<<14
+                | blk1<<15 | blk0<<22 | way<<29
 
-wordB packs three fields with *different* index semantics positionally:
-lanesel is [stream-sublane, lane], the route fields are [row-class,
-out-slot], blk is [*, stream-sublane] (replicated down sublanes so
-``(wb >> 22) & 127`` is directly the staging crossbar's index tile).
+The words pack fields with *different* index semantics positionally:
+a/cap are [row-class, aligned-slot], route_lo/hi are [row-class, out-slot
+(−128 for hi)], lanesel/way are [stream-sublane, lane], blk0/blk1 are
+[*, stream-sublane] (replicated down sublanes so the shifted field is
+directly the staging crossbar's index tile).
 
 Layout invariants the builder enforces (kernel correctness depends on
 them):
@@ -59,8 +66,14 @@ them):
   ONE run padded to pow2 width w ∈ {2,...,128} at a w-aligned offset, and
   Σ w ≤ 254 per lane (guaranteed: Σ next_pow2(k) ≤ 2·Σ k ≤ 254), so
   aligned slots 254/255 — tile-2 lanes 126/127 — are never captured and
-  lane 126 of tile 2 is the default identity route;
-- a panel's entries all come from one 16K-column x chunk.
+  lane 126 (of tile 2 when in play, else tile 1, where the builder keeps
+  slots 126/127 free) is the default identity route;
+- a panel's entries all come from one 16K-column x chunk;
+- rows longer than SPLIT_T are pre-split into col-striped overflow pieces
+  (consecutive row ids past the padded base space, cycling lanes mod 128 —
+  a hub row otherwise digs a deep single-lane pile into every block it
+  touches); the pieces are ⊕-combined into the owner row by a tiny
+  segment reduce after the sweep.
 """
 
 from __future__ import annotations
@@ -83,12 +96,21 @@ LANES = 128
 CHUNK_COLS = LANES * LANES
 #: usable stream sublanes per panel (127; sublane 127 is the identity row)
 USABLE = LANES - 1
-#: rows per output slab: out tile is (SLAB_ROWS/128, 128)
-SLAB_ROWS = LANES * LANES
+#: rows per output slab: out tile is (SLAB_ROWS/128, 128), ≤ 256 sublanes
+SLAB_ROWS = 2 * LANES * LANES
 #: per-(panel,lane) aligned-slot budget (slots 254/255 stay identity)
 ALIGN_BUDGET = 254
-#: refuse layouts whose packed slots exceed this multiple of nnz
-PAD_BLOWUP_LIMIT = 8.0
+#: refuse layouts whose packed slots exceed this multiple of nnz. Unlike
+#: the dense-tile builders (where blowup means allocating GBs), sell2
+#: padding costs bandwidth only — identity slots stream through the
+#: crossbars — so the limit is generous; the byte cap below bounds memory.
+PAD_BLOWUP_LIMIT = 24.0
+#: absolute operand size cap (12 B/slot): refuse > 2 GiB of packed stream
+SLOT_BYTE_CAP = 2 << 30
+#: rows longer than this split into col-striped overflow pieces
+SPLIT_T = 256
+#: windowed-greedy pairing: candidate pool size (lightest-K remaining)
+PAIR_WINDOW = 16
 
 
 class _SlabLayout(NamedTuple):
@@ -96,7 +118,8 @@ class _SlabLayout(NamedTuple):
     rows: int       # rows covered (multiple of 1024; out tile rows/128×128)
     panels: int     # grid size for this slab's call (0 = empty slab)
     depth: int      # butterfly levels = log2(max run width), ≥ 1
-    two_tiles: bool  # any aligned offset ≥ 128 (tile 2 in play)
+    two_tiles: bool  # any aligned offset > 126 (align tile 2 in play)
+    has_hi: bool    # any out slot ≥ 128 (hi route set in play)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -107,18 +130,24 @@ class Sell2Operand:
     wordB (P·128,128) i32, vals (P·128,128)."""
 
     def __init__(self, slabs, layouts: Tuple[_SlabLayout, ...],
-                 n_chunks: int, n_rows: int):
+                 n_chunks: int, n_rows: int, base_pad: int,
+                 piece_owner=None):
         self.slabs = slabs
         self.layouts = layouts
         self.n_chunks = int(n_chunks)
         self.n_rows = int(n_rows)
+        # heavy-row splitting: kernel rows [base_pad, base_pad+len(owner))
+        # are overflow pieces ⊕-combined into piece_owner after the sweep
+        self.base_pad = int(base_pad)
+        self.piece_owner = piece_owner
 
     def tree_flatten(self):
-        return (self.slabs,), (self.layouts, self.n_chunks, self.n_rows)
+        return (self.slabs, self.piece_owner), (
+            self.layouts, self.n_chunks, self.n_rows, self.base_pad)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], *aux)
+        return cls(children[0], *aux, piece_owner=children[1])
 
 
 def _next_pow2(k: np.ndarray) -> np.ndarray:
@@ -155,33 +184,64 @@ def build_sell2(coo: COO, sr: Semiring,
     vals_all = s.vals if not as_int else (s.vals != 0).astype(np.int32)
     vals_all = vals_all.astype(np_dtype)
 
-    n_pad = round_up(max(n, 1), 1024)
+    # ---- heavy-row split: stripe rows > SPLIT_T over overflow pieces ----
+    base_pad = round_up(max(n, 1), 1024)
+    lens = np.bincount(s.rows, minlength=n).astype(np.int64)
+    heavy = np.nonzero(lens > SPLIT_T)[0]
+    indptr0 = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=indptr0[1:])
+    if heavy.size:
+        p_r = -(-lens[heavy] // SPLIT_T)                # pieces per row
+        ov_off = np.cumsum(p_r) - p_r
+        n_pieces = int(p_r.sum())
+        piece_owner = np.repeat(heavy, p_r).astype(np.int32)
+        rank = np.arange(s.nnz, dtype=np.int64) - indptr0[s.rows]
+        rows_k = s.rows.astype(np.int64)
+        is_h = lens[s.rows] > SPLIT_T
+        hidx = np.searchsorted(heavy, s.rows[is_h])
+        # entry j of a heavy row (col-sorted) → piece j % p_r: consecutive
+        # piece ids cycle lanes mod 128 and stripe every block's pile
+        rows_k[is_h] = base_pad + ov_off[hidx] + rank[is_h] % p_r[hidx]
+        n_tot = base_pad + n_pieces
+        order0 = np.lexsort((s.cols, rows_k))
+        k_rows = rows_k[order0]
+        k_cols = s.cols.astype(np.int64)[order0]
+        k_vals = vals_all[order0]
+    else:
+        piece_owner = None
+        n_tot = n
+        k_rows = s.rows.astype(np.int64)
+        k_cols = s.cols.astype(np.int64)
+        k_vals = vals_all
+
+    n_pad = round_up(max(n_tot, 1), 1024)
     n_chunks = round_up(max(c, 1), CHUNK_COLS) // CHUNK_COLS
-    indptr = np.zeros(n + 1, np.int64)
-    np.cumsum(np.bincount(s.rows, minlength=n), out=indptr[1:])
+    indptr = np.zeros(n_tot + 1, np.int64)
+    np.cumsum(np.bincount(k_rows, minlength=n_tot), out=indptr[1:])
 
     slabs = []
     layouts: List[_SlabLayout] = []
     total_slots = 0
     for r0 in range(0, n_pad, SLAB_ROWS):
         rows_slab = min(SLAB_ROWS, n_pad - r0)
-        e0, e1 = int(indptr[min(r0, n)]), int(indptr[min(r0 + rows_slab, n)])
+        e0 = int(indptr[min(r0, n_tot)])
+        e1 = int(indptr[min(r0 + rows_slab, n_tot)])
         m = e1 - e0
         if m == 0:
-            layouts.append(_SlabLayout(r0, rows_slab, 0, 1, False))
+            layouts.append(_SlabLayout(r0, rows_slab, 0, 1, False, False))
             slabs.append(None)
             continue
-        rows_e = s.rows[e0:e1].astype(np.int64) - r0
-        cols_e = s.cols[e0:e1].astype(np.int64)
-        vals_e = vals_all[e0:e1]
+        rows_e = k_rows[e0:e1] - r0
+        cols_e = k_cols[e0:e1]
+        vals_e = k_vals[e0:e1]
 
         lane = rows_e % LANES
         chunk = cols_e // CHUNK_COLS
         blkc = (cols_e % CHUNK_COLS) // LANES
         col_lane = cols_e % LANES
 
-        # ---- phase A packing: sublane = (chunk, blk) stack position ----
-        # position of each entry within its (chunk, blk, lane) pile
+        # ---- phase A packing ------------------------------------------
+        # entry position within its (chunk, blk, lane) pile
         order = np.lexsort((lane, blkc, chunk))
         och, obl, oln = chunk[order], blkc[order], lane[order]
         key_cbl = (och * LANES + obl) * LANES + oln
@@ -191,54 +251,103 @@ def build_sell2(coo: COO, sr: Semiring,
         gid = np.cumsum(gid)
         pos = np.arange(m, dtype=np.int64) - starts[gid]
 
-        # sublanes per (chunk, blk) = max pile depth over lanes
+        # per-(chunk, blk) lane histograms
         key_cb = och * LANES + obl
         cb_u, cb_inv = np.unique(key_cb, return_inverse=True)
-        depth_cb = np.zeros(len(cb_u), np.int64)
-        np.maximum.at(depth_cb, cb_inv, pos + 1)
-
-        # chunk-major sublane layout with panel-aligned chunk boundaries
+        ncb = len(cb_u)
+        cnt_cbl = np.zeros((ncb, LANES), np.int64)
+        np.add.at(cnt_cbl, (cb_inv, oln), 1)
+        demand_cb = cnt_cbl.max(axis=1)
         cb_chunk = cb_u // LANES
-        ch_u, ch_inv = np.unique(cb_chunk, return_inverse=True)
-        sub_in_chunk_off = _grouped_exclusive_cumsum(depth_cb, cb_chunk)
+
+        # pair blocks within each chunk: a sublane carries both ways'
+        # piles, so tail blocks share slots. Windowed greedy: take the
+        # heaviest unpaired block, scan the PAIR_WINDOW lightest remaining
+        # for the partner whose lane histogram collides least
+        # (cost = max_l(dA+dB); ~25% fewer sublanes than heaviest-lightest
+        # on zipf tails)
+        pair_of_cb = np.zeros(ncb, np.int64)
+        way_of_cb = np.zeros(ncb, np.int64)
+        pair_chunk: List[int] = []
+        pair_blk0: List[int] = []
+        pair_blk1: List[int] = []
+        pair_a_cb: List[int] = []
+        pair_b_cb: List[int] = []
+        npairs = 0
+        for ch in np.unique(cb_chunk):
+            idx = np.nonzero(cb_chunk == ch)[0]
+            idx = idx[np.argsort(-demand_cb[idx], kind="stable")]
+            alive = np.ones(len(idx), bool)
+            fi, bi = 0, len(idx) - 1
+            while fi <= bi:
+                if not alive[fi]:
+                    fi += 1
+                    continue
+                a = idx[fi]
+                alive[fi] = False
+                cand_pos = []
+                p = bi
+                while p > fi and len(cand_pos) < PAIR_WINDOW:
+                    if alive[p]:
+                        cand_pos.append(p)
+                    p -= 1
+                if cand_pos:
+                    cands = idx[cand_pos]
+                    costs = (cnt_cbl[a] + cnt_cbl[cands]).max(axis=1)
+                    k = int(np.argmin(costs))
+                    b = int(cands[k])
+                    alive[cand_pos[k]] = False
+                    while bi > fi and not alive[bi]:
+                        bi -= 1
+                else:
+                    b = -1
+                pair_of_cb[a] = npairs
+                way_of_cb[a] = 0
+                if b >= 0:
+                    pair_of_cb[b] = npairs
+                    way_of_cb[b] = 1
+                pair_chunk.append(int(ch))
+                pair_blk0.append(int(cb_u[a] % LANES))
+                pair_blk1.append(int(cb_u[b] % LANES) if b >= 0
+                                 else int(cb_u[a] % LANES))
+                pair_a_cb.append(int(a))
+                pair_b_cb.append(int(b))
+                npairs += 1
+        pair_chunk_a = np.asarray(pair_chunk, np.int64)
+        # combined per-lane piles and pair sublane demand
+        dA = cnt_cbl[np.asarray(pair_a_cb)]
+        dB = np.where(
+            (np.asarray(pair_b_cb) >= 0)[:, None],
+            cnt_cbl[np.maximum(np.asarray(pair_b_cb), 0)], 0)
+        demand_pair = (dA + dB).max(axis=1)
+
+        # chunk-major stream with panel-aligned chunk boundaries (pairs
+        # are already emitted in chunk order above)
+        off_pair = _grouped_exclusive_cumsum(demand_pair, pair_chunk_a)
+        ch_u = np.unique(pair_chunk_a)
         ch_sub = np.zeros(len(ch_u), np.int64)
-        np.add.at(ch_sub, ch_inv, depth_cb)
+        ch_of_pair = np.searchsorted(ch_u, pair_chunk_a)
+        np.add.at(ch_sub, ch_of_pair, demand_pair)
         ch_panels = (ch_sub + USABLE - 1) // USABLE
         ch_panel_base = np.cumsum(ch_panels) - ch_panels
         P = int(ch_panels.sum())
 
-        # per entry: panel and in-panel sublane
-        sub_local = sub_in_chunk_off[cb_inv] + pos      # within its chunk
-        panel = ch_panel_base[ch_inv[cb_inv]] + sub_local // USABLE
+        # per entry: pair, way, stacked position, panel, in-panel sublane
+        pe = pair_of_cb[cb_inv]
+        wy = way_of_cb[cb_inv]
+        pos_in_pair = pos + np.where(wy == 1, dA[pe, oln], 0)
+        sub_local = off_pair[pe] + pos_in_pair        # within its chunk
+        panel = ch_panel_base[ch_of_pair[pe]] + sub_local // USABLE
         s_sub = sub_local % USABLE
 
         slots = P * LANES * LANES
         total_slots += slots
-        if slots > PAD_BLOWUP_LIMIT * m and slots > (1 << 20):
+        if ((slots > PAD_BLOWUP_LIMIT * m and slots > (1 << 20))
+                or slots * 12 > SLOT_BYTE_CAP):
             raise NotImplementedError(
                 f"sell2 padding blowup: {slots} packed slots for "
                 f"{m} nonzeros in slab@{r0}; use coo_seg/ell"
             )
-
-        # ---- array fills (entry order = `order`) -----------------------
-        vals_arr = np.full((P * LANES, LANES), zero, store_dtype)
-        # wordA default: align crossbars → identity sublane 127, cap 0
-        wordA = np.full((P * LANES, LANES), 127 | (127 << 7), np.int32)
-        # wordB default: lanesel 0, route (lane 126, tile 2), blk 0
-        wordB = np.full((P * LANES, LANES), (126 << 7) | (1 << 14), np.int32)
-        chunk_of_panel = np.zeros(P, np.int32)
-        for ci, (base, cnt) in enumerate(zip(ch_panel_base, ch_panels)):
-            chunk_of_panel[base:base + cnt] = ch_u[ci]
-
-        flatA = panel * LANES + s_sub                  # stream row index
-        vals_arr[flatA, oln] = vals_e[order]
-        # lanesel field (bits 0-6) at [stream-sublane, lane]
-        wordB[flatA, oln] |= col_lane[order].astype(np.int32)
-        # blk field (bits 22-28) at [*, stream-sublane]: replicated down u
-        blk_of_sub = np.zeros((P, LANES), np.int32)    # default 0, incl s=127
-        blk_of_sub[panel, s_sub] = obl.astype(np.int32)
-        wordB |= np.repeat(blk_of_sub[:, None, :], LANES, axis=1).reshape(
-            P * LANES, LANES) << 22
 
         # ---- phase B: runs = (panel, row) groups ------------------------
         orow = rows_e[order]
@@ -268,7 +377,48 @@ def build_sell2(coo: COO, sr: Semiring,
         run_off = np.zeros(n_runs, np.int64)
         run_off[order3] = off3
         bf_depth = int(run_level.max(initial=1))
-        two_tiles = bool((run_off + run_w).max(initial=0) > LANES)
+        # lane 126/127 of the identity-route tile must stay un-captured
+        two_tiles = bool((run_off + run_w).max(initial=0) > 126)
+        has_hi = bool(run_out.max(initial=0) >= 128) or rows_slab > 16384
+
+        # ---- array fills -------------------------------------------------
+        vals_arr = np.full((P * LANES, LANES), zero, store_dtype)
+        # wordA default: align → identity sublane 127, cap 0, hi route =
+        # identity (lane 126 of the last align tile in play)
+        id_tile = 1 if two_tiles else 0
+        wordA = np.full(
+            (P * LANES, LANES),
+            127 | (127 << 7) | (126 << 20) | (id_tile << 27), np.int32)
+        # wordB default: lanesel 0, lo route = identity, blk 0, way 0
+        wordB = np.full(
+            (P * LANES, LANES),
+            (126 << 7) | (id_tile << 14), np.int32)
+        chunk_of_panel = np.zeros(P, np.int32)
+        for ci, (base, cnt) in enumerate(zip(ch_panel_base, ch_panels)):
+            chunk_of_panel[base:base + cnt] = ch_u[ci]
+
+        flatA = panel * LANES + s_sub                  # stream row index
+        vals_arr[flatA, oln] = vals_e[order]
+        # lanesel (bits 0-6) + way (bit 29) at [stream-sublane, lane]
+        wordB[flatA, oln] |= (col_lane[order].astype(np.int32)
+                              | (wy.astype(np.int32) << 29))
+        # blk0/blk1 (bits 22-28 / 15-21) at [*, stream-sublane]: expand the
+        # pair spans into per-chunk streams, then scatter panel-wise
+        blk0_of_sub = np.zeros((P, LANES), np.int32)
+        blk1_of_sub = np.zeros((P, LANES), np.int32)
+        stream_pair = np.repeat(np.arange(npairs), demand_pair)
+        g_in_chunk = _grouped_exclusive_cumsum(
+            np.ones(len(stream_pair), np.int64), pair_chunk_a[stream_pair])
+        sp_panel = (ch_panel_base[ch_of_pair[stream_pair]]
+                    + g_in_chunk // USABLE)
+        sp_sub = g_in_chunk % USABLE
+        blk0_of_sub[sp_panel, sp_sub] = np.asarray(pair_blk0, np.int32)[
+            stream_pair]
+        blk1_of_sub[sp_panel, sp_sub] = np.asarray(pair_blk1, np.int32)[
+            stream_pair]
+        wordB |= np.repeat(
+            ((blk0_of_sub << 22) | (blk1_of_sub << 15))[:, None, :],
+            LANES, axis=1).reshape(P * LANES, LANES)
 
         # align crossbars: aligned slot j of row-class lane ← stream sublane
         j = run_off[rid2] + t_in_run                   # per entry (order2)
@@ -294,11 +444,18 @@ def build_sell2(coo: COO, sr: Semiring,
         iC2 = (rowR[f_hi], run_off[f_hi] - LANES)
         wordA[iC2] |= run_level[f_hi] << 17
 
-        # route fields at [row-class, out-slot]: clear default, set run's
-        iR = (rowR, run_out)
-        route = (run_off % LANES).astype(np.int32) << 7
-        route |= (run_off // LANES).astype(np.int32) << 14
-        wordB[iR] = (wordB[iR] & ~np.int32((127 << 7) | (1 << 14))) | route
+        # route fields at [row-class, out-slot]: lo (wordB, o<128) and hi
+        # (wordA, o≥128); clear the identity default, set the run's node
+        route_lane = (run_off % LANES).astype(np.int32)
+        route_tile = (run_off // LANES).astype(np.int32)
+        o_lo = run_out < LANES
+        iRlo = (rowR[o_lo], run_out[o_lo])
+        wordB[iRlo] = (wordB[iRlo] & ~np.int32((127 << 7) | (1 << 14))) | (
+            (route_lane[o_lo] << 7) | (route_tile[o_lo] << 14))
+        o_hi = ~o_lo
+        iRhi = (rowR[o_hi], run_out[o_hi] - LANES)
+        wordA[iRhi] = (wordA[iRhi] & ~np.int32((127 << 20) | (1 << 27))) | (
+            (route_lane[o_hi] << 20) | (route_tile[o_hi] << 27))
 
         slabs.append({
             "chunk": jnp.asarray(chunk_of_panel),
@@ -306,15 +463,35 @@ def build_sell2(coo: COO, sr: Semiring,
             "wordB": jnp.asarray(wordB),
             "vals": jnp.asarray(vals_arr),
         })
-        layouts.append(_SlabLayout(r0, rows_slab, P, bf_depth, two_tiles))
+        layouts.append(_SlabLayout(
+            r0, rows_slab, P, bf_depth, two_tiles, has_hi))
 
     nnz = max(coo.nnz, 1)
-    if total_slots > PAD_BLOWUP_LIMIT * nnz and total_slots > (1 << 20):
+    if ((total_slots > PAD_BLOWUP_LIMIT * nnz and total_slots > (1 << 20))
+            or total_slots * 12 > SLOT_BYTE_CAP):
         raise NotImplementedError(
             f"sell2 padding blowup: {total_slots} packed slots for {nnz} "
             "nonzeros; use coo_seg/ell"
         )
-    return Sell2Operand(slabs, tuple(layouts), n_chunks, n)
+    return Sell2Operand(
+        slabs, tuple(layouts), n_chunks, n, base_pad,
+        piece_owner=jnp.asarray(piece_owner) if piece_owner is not None
+        else None,
+    )
+
+
+_SEGMENT_REDUCERS = {
+    "add": jax.ops.segment_sum,
+    "minimum": jax.ops.segment_min,
+    "maximum": jax.ops.segment_max,
+}
+
+
+def _segment_reducer(sr: Semiring, as_int: bool):
+    """XLA segment reduction matching the carrier ⊕ (pieces → owner row)."""
+    if as_int:
+        return jax.ops.segment_max   # bool carrier: ⊕ = max on int32
+    return _SEGMENT_REDUCERS[getattr(sr.add, "__name__", "add")]
 
 
 # ----------------------------------------------------------------- kernel
@@ -332,16 +509,18 @@ def _panel_call(slab, lay: _SlabLayout, xT: jax.Array, sr: Semiring,
     def kernel(chunk_ref, xT_ref, wa_ref, wb_ref, val_ref, out_ref):
         p = pl.program_id(0)
         wb = wb_ref[...]
-        # staging: y[l, s] = xT[l, blk[s]]; staged[s, :] = x row blk[s]
-        blk = (wb >> 22) & 127
-        y = jnp.take_along_axis(xT_ref[...], blk, axis=1)
-        staged = y.T
-        # phase A: entry x element by lane crossbar, then ⊗ with vals
+        # staging: y_w[l, s] = xT[l, blk_w[s]]; staged_w[s] = x row blk_w[s]
+        xc = xT_ref[...]
+        staged0 = jnp.take_along_axis(xc, (wb >> 22) & 127, axis=1).T
+        staged1 = jnp.take_along_axis(xc, (wb >> 15) & 127, axis=1).T
+        # phase A: per-way x element crossbars, way select, semiring ⊗
         lanesel = wb & 127
-        w = jnp.take_along_axis(staged, lanesel, axis=1)
+        w0 = jnp.take_along_axis(staged0, lanesel, axis=1)
+        w1 = jnp.take_along_axis(staged1, lanesel, axis=1)
+        w = jnp.where(((wb >> 29) & 1) == 0, w0, w1)
         vals = val_ref[...]
-        if vals.dtype != staged.dtype:
-            vals = vals.astype(staged.dtype)
+        if vals.dtype != w.dtype:
+            vals = vals.astype(w.dtype)
         contrib = mul(w, vals)
         # phase B: class-major transpose, align crossbars, XOR butterfly
         wa = wa_ref[...]
@@ -362,12 +541,18 @@ def _panel_call(slab, lay: _SlabLayout, xT: jax.Array, sr: Semiring,
                 t2 = add(t2, jnp.take_along_axis(t2, idx, axis=1))
                 f2 = jnp.where(cap2 == k, t2, f2)
         # route: per (row-class, out-slot) read the run's captured value
-        route_lane = (wb >> 7) & 127
-        q = jnp.take_along_axis(f1, route_lane, axis=1)
+        q_lo = jnp.take_along_axis(f1, (wb >> 7) & 127, axis=1)
         if lay.two_tiles:
-            q2 = jnp.take_along_axis(f2, route_lane, axis=1)
-            q = jnp.where(((wb >> 14) & 1) == 0, q, q2)
-        acc = q.T[:d_out]
+            q2 = jnp.take_along_axis(f2, (wb >> 7) & 127, axis=1)
+            q_lo = jnp.where(((wb >> 14) & 1) == 0, q_lo, q2)
+        if lay.has_hi:
+            q_hi = jnp.take_along_axis(f1, (wa >> 20) & 127, axis=1)
+            if lay.two_tiles:
+                q2h = jnp.take_along_axis(f2, (wa >> 20) & 127, axis=1)
+                q_hi = jnp.where(((wa >> 27) & 1) == 0, q_hi, q2h)
+            acc = jnp.concatenate([q_lo.T, q_hi.T], axis=0)[:d_out]
+        else:
+            acc = q_lo.T[:d_out]
 
         @pl.when(p == 0)
         def _():
@@ -418,4 +603,15 @@ def dp_sell2(op: Sell2Operand, x: jax.Array, sr: Semiring, *,
             continue
         tile = _panel_call(slab, lay, xT, sr, as_int)
         outs.append(tile.reshape(-1))
-    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    dp = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    if op.piece_owner is not None:
+        # fold heavy-row overflow pieces back into their owner rows
+        n_pieces = op.piece_owner.shape[0]
+        ov = dp[op.base_pad:op.base_pad + n_pieces]
+        add = _carrier(sr)[1]
+        seg = _segment_reducer(sr, as_int)(
+            ov, op.piece_owner, num_segments=op.base_pad,
+            indices_are_sorted=True,
+        )
+        dp = add(dp[:op.base_pad], seg)
+    return dp
