@@ -37,6 +37,9 @@ from sparseharness_tpu.parallel.mesh import ROWS_AXIS, make_mesh
 from sparseharness_tpu.parallel.sharded_band import (
     build_sharded_band, sharded_fixpoint_band,
 )
+from sparseharness_tpu.parallel.sharded_sell import (
+    build_sharded_sell, sharded_fixpoint_sell,
+)
 from sparseharness_tpu.semiring import Semiring, PLUS_TIMES, MIN_PLUS, OR_AND
 
 FLT_MAX = float(np.finfo(np.float32).max)
@@ -593,14 +596,17 @@ def _build_sharded_auto(coo: COO, sr: Semiring, n_shards: int,
     """(operand, solver): the best TPU path the structure permits.
 
     Preference order for "auto": the Pallas band operand (roofline local
-    compute + O(halo) ICI + exchange/compute overlap), then the halo-ELL
+    compute + O(halo) ICI + exchange/compute overlap), then the Pallas
+    sell2 operand (crossbar ragged kernel + all-gathered x — the
+    power-law/scattered path, ~700× the ELL gather), then the halo-ELL
     gather fallback (O(halo) ICI, XLA-gather compute), then the all-gather
     ELL fallback (any structure). mode: "auto", "band" (require the Pallas
-    path — raises NotImplementedError otherwise), "halo" (require
-    neighbour-only exchange — raises ValueError otherwise), "gather".
-    Combine with reorder="rcm" on the wrappers: RCM bandwidth reduction is
-    what makes general matrices band/halo-eligible in the first place."""
-    if mode not in ("auto", "band", "halo", "gather"):
+    band path — raises NotImplementedError otherwise), "sell" (require the
+    Pallas sell2 path), "halo" (require neighbour-only exchange — raises
+    ValueError otherwise), "gather". Combine with reorder="rcm" on the
+    wrappers: RCM bandwidth reduction is what makes general matrices
+    band/halo-eligible in the first place."""
+    if mode not in ("auto", "band", "sell", "halo", "gather"):
         raise ValueError(f"unknown sharded mode {mode!r}")
     if mode in ("auto", "band"):
         try:
@@ -608,6 +614,13 @@ def _build_sharded_auto(coo: COO, sr: Semiring, n_shards: int,
             return op, sharded_fixpoint_band
         except NotImplementedError:
             if mode == "band":
+                raise
+    if mode in ("auto", "sell"):
+        try:
+            op, _ = build_sharded_sell(coo, sr, n_shards)
+            return op, sharded_fixpoint_sell
+        except NotImplementedError:
+            if mode == "sell":
                 raise
     if mode in ("auto", "halo"):
         try:

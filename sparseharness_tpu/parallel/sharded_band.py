@@ -30,21 +30,19 @@ north star (rows-per-chip at roofline, ≥70% weak scaling).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax import shard_map
 
 from sparseharness_tpu.formats.sparse import COO, fold_duplicates, round_up
 from sparseharness_tpu.ops.pallas_bsr import _carrier, _np_fold_for
 from sparseharness_tpu.ops.pallas_bsr_band import (
     MAX_WINDOW_BLOCKS, BsrBandOperand, dp_bsr_band,
 )
+from sparseharness_tpu.parallel import fixcore
 from sparseharness_tpu.parallel.mesh import ROWS_AXIS
 from sparseharness_tpu.semiring import Semiring
 
@@ -238,45 +236,31 @@ def _local_band_dp(op: ShardedBandOperand, strips_local, x_local,
     return sr.add(dp, jnp.full_like(dp, zero))
 
 
-# ------------------------------------------------------------ solver cache
+# --------------------------------------------------------------- solvers
 #
-# jax.jit caches by function identity: building the shard_map'd closure
-# once per static configuration and memoizing it here means repeated
-# sharded_spmv_band / sharded_fixpoint_band calls reuse one trace
-# (VERDICT r1 'weak #2': the round-1 solvers re-jitted per invocation).
-
-_SOLVER_CACHE: dict = {}
+# The shard_map/while_loop/psum/cache machinery is parallel/fixcore.py
+# (shared with the sell2 mode); only the local dot-product step — ring
+# edge exchange + the three band pallas_calls — lives here.
 
 
-def _static_key(mesh: Mesh, op: ShardedBandOperand, sr: Semiring, extra):
+def _static_key(op: ShardedBandOperand, sr: Semiring):
     return (
-        tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
         op.strips.shape, str(op.strips.dtype),
         op.c0, op.k_win, op.halo, op.chunk, op.bn, op.g_lo, op.g_hi,
-        sr.name, extra,
+        sr.name,
     )
 
 
-def _spmv_solver(mesh: Mesh, op: ShardedBandOperand, sr: Semiring):
-    key = _static_key(mesh, op, sr, "spmv")
-    fn = _SOLVER_CACHE.get(key)
-    if fn is not None:
-        return fn
+def _band_local_dp(op: ShardedBandOperand, sr: Semiring):
     halo = op.halo
 
-    @partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(ROWS_AXIS, None, None, None), P(ROWS_AXIS)),
-        out_specs=P(ROWS_AXIS),
-        check_vma=False,  # pallas_call outputs carry no vma annotation
-    )
-    def run(strips, x_local):
+    def local_dp(op_local, x_local):
         from_left, from_right = _edge_exchange(x_local, halo, ROWS_AXIS)
-        return _local_band_dp(op, strips[0], x_local, from_left, from_right, sr)
+        return _local_band_dp(
+            op, op_local["strips"][0], x_local, from_left, from_right, sr
+        )
 
-    fn = jax.jit(run)
-    _SOLVER_CACHE[key] = fn
-    return fn
+    return local_dp
 
 
 def sharded_spmv_band(
@@ -293,84 +277,13 @@ def sharded_spmv_band(
     zero = jnp.asarray(sr.zero, sr.dtype)
     x_pad = jnp.pad(x.astype(sr.dtype), (0, r_pad - x.shape[0]),
                     constant_values=zero)
-    sh = NamedSharding(mesh, P(ROWS_AXIS, None, None, None))
-    strips = jax.device_put(op.strips, sh)
+    arrays = {"strips": op.strips}
+    solver = fixcore.make_spmv_solver(
+        mesh, arrays, _band_local_dp(op, sr), key=_static_key(op, sr)
+    )
+    arrs = fixcore.shard_operand(mesh, arrays)
     x_sh = jax.device_put(x_pad, NamedSharding(mesh, P(ROWS_AXIS)))
-    return _spmv_solver(mesh, op, sr)(strips, x_sh)[:n_rows]
-
-
-def _fixpoint_solver(mesh: Mesh, op: ShardedBandOperand, sr: Semiring, *,
-                     combine: Callable, exact: bool, delta: float,
-                     max_iter: int, norm: bool, with_aux: bool,
-                     aux_update, aux_dtype):
-    key = _static_key(
-        mesh, op, sr,
-        ("fix", combine, exact, float(delta), max_iter, norm,
-         aux_update, str(aux_dtype) if with_aux else None),
-    )
-    fn = _SOLVER_CACHE.get(key)
-    if fn is not None:
-        return fn
-    halo = op.halo
-
-    in_specs = (P(ROWS_AXIS, None, None, None), P(ROWS_AXIS)) + (
-        (P(ROWS_AXIS),) if with_aux else ()
-    )
-    out_specs = (P(ROWS_AXIS),) * (2 if with_aux else 1) + (P(), P())
-
-    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-             check_vma=False)  # pallas_call outputs carry no vma annotation
-    def solve(strips, x_local, *maybe_aux):
-        strips = strips[0]
-
-        def step(x_loc):
-            from_left, from_right = _edge_exchange(x_loc, halo, ROWS_AXIS)
-            dp = _local_band_dp(op, strips, x_loc, from_left, from_right, sr)
-            x_new = combine(x_loc, dp)
-            if norm:
-                sq = jax.lax.psum(jnp.sum(x_new.astype(jnp.float32) ** 2),
-                                  ROWS_AXIS)
-                nrm = jnp.sqrt(sq)
-                x_new = jnp.where(nrm > 0, x_new / nrm.astype(x_new.dtype),
-                                  x_new)
-            return x_new
-
-        def local_changed(a, b):
-            if exact:
-                return jnp.any(a != b)
-            return jnp.any(jnp.abs(a - b) >= delta)
-
-        def cond(carry):
-            return jnp.logical_and(~carry[-1], carry[-2] < max_iter)
-
-        def body(carry):
-            if with_aux:
-                x_loc, aux, it, _ = carry
-            else:
-                x_loc, it, _ = carry
-            x_new = step(x_loc)
-            changed = jax.lax.psum(
-                local_changed(x_loc, x_new).astype(jnp.int32), ROWS_AXIS
-            )
-            if with_aux:
-                aux = aux_update(aux, x_loc, x_new, it)
-                return (x_new, aux, it + 1, changed == 0)
-            return (x_new, it + 1, changed == 0)
-
-        init = (
-            (x_local, maybe_aux[0], jnp.int32(0), jnp.bool_(False))
-            if with_aux else (x_local, jnp.int32(0), jnp.bool_(False))
-        )
-        out = jax.lax.while_loop(cond, body, init)
-        if with_aux:
-            x_fin, aux_fin, iters, done = out
-            return x_fin, aux_fin, iters[None], done[None]
-        x_fin, iters, done = out
-        return x_fin, iters[None], done[None]
-
-    fn = jax.jit(solve)
-    _SOLVER_CACHE[key] = fn
-    return fn
+    return solver(arrs, x_sh)[:n_rows]
 
 
 def sharded_fixpoint_band(
@@ -405,23 +318,23 @@ def sharded_fixpoint_band(
     with_aux = aux_update is not None
     if with_aux:
         aux_pad = jnp.pad(jnp.asarray(aux0), (0, r_pad - len(aux0)))
-    solver = _fixpoint_solver(
-        mesh, op, sr, combine=combine, exact=exact, delta=delta,
-        max_iter=max_iter, norm=norm, with_aux=with_aux,
-        aux_update=aux_update,
-        aux_dtype=aux_pad.dtype if with_aux else None,
+    arrays = {"strips": op.strips}
+    solver = fixcore.make_fixpoint_solver(
+        mesh, arrays, _band_local_dp(op, sr),
+        combine=combine, exact=exact, delta=delta, max_iter=max_iter,
+        norm=norm, with_aux=with_aux, aux_update=aux_update,
+        key=_static_key(op, sr),
     )
-    sh = NamedSharding(mesh, P(ROWS_AXIS, None, None, None))
-    strips = jax.device_put(op.strips, sh)
+    arrs = fixcore.shard_operand(mesh, arrays)
     x_sh = jax.device_put(x_pad, NamedSharding(mesh, P(ROWS_AXIS)))
     if with_aux:
         aux_sh = jax.device_put(aux_pad, NamedSharding(mesh, P(ROWS_AXIS)))
-        x_fin, aux_fin, iters, done = solver(strips, x_sh, aux_sh)
+        x_fin, aux_fin, iters, done = solver(arrs, x_sh, aux_sh)
         return ShardedFixpointResult(
             x=x_fin[:n_rows], iterations=int(iters[0]),
             converged=bool(done[0]), aux=aux_fin[:n_rows],
         )
-    x_fin, iters, done = solver(strips, x_sh)
+    x_fin, iters, done = solver(arrs, x_sh)
     return ShardedFixpointResult(
         x=x_fin[:n_rows], iterations=int(iters[0]), converged=bool(done[0])
     )

@@ -175,10 +175,19 @@ def test_sharded_mode_auto_picks_halo_for_banded(mesh):
     # forced halo mode still yields the O(halo) ELL pair
     op_h, solver_h = _build_sharded_auto(band, MP, mesh.devices.size, "halo")
     assert isinstance(op_h, HaloEll) and solver_h is sharded_fixpoint_halo
-    # scattered graph falls back to all-gather
+    # scattered graph routes onto the sell2 crossbar operand (Pallas local
+    # compute + all-gathered x), not the ELL per-element gather
+    from sparseharness_tpu.parallel.sharded_sell import (
+        ShardedSellOperand, sharded_fixpoint_sell,
+    )
+
     g = random_graph_coo(300, 3.0, seed=22)
     op2, solver2 = _build_sharded_auto(g, MP, mesh.devices.size, "auto")
-    assert isinstance(op2, ShardedEll) and solver2 is sharded_fixpoint
+    assert isinstance(op2, ShardedSellOperand)
+    assert solver2 is sharded_fixpoint_sell
+    # forced gather mode still yields the ELL all-gather pair
+    op3, solver3 = _build_sharded_auto(g, MP, mesh.devices.size, "gather")
+    assert isinstance(op3, ShardedEll) and solver3 is sharded_fixpoint
 
     res = sharded_sssp(band, root=5, mesh=mesh, mode="halo")
     np.testing.assert_allclose(
