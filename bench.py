@@ -42,7 +42,8 @@ def main() -> int:
     # ---- correctness gate (small, every benched variant) ---------------
     small = random_coo(1138, 1138, 4054, seed=0)
     small_band = banded_coo(1138, 8, seed=0)
-    gate = [("bsr_ell", small), ("bsr_fused", small), ("bsr_band", small_band)]
+    gate = [("bsr_ell", small), ("bsr_fused", small), ("bsr_band", small_band),
+            ("sell2", small)]
     for variant, m in gate:
         prob = make_spmv_problem(m, variant=variant, seed=1)
         gold = spmv_gold(m, np.asarray(prob.x0), np.asarray(prob.y),
