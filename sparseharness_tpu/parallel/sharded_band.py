@@ -263,6 +263,15 @@ def _band_local_dp(op: ShardedBandOperand, sr: Semiring):
     return local_dp
 
 
+def _spmv_solver(mesh: Mesh, op: ShardedBandOperand, sr: Semiring):
+    """Cached jitted one-shot dp solver for this (mesh, operand, semiring)
+    config — repeated calls return the identical traced closure."""
+    return fixcore.make_spmv_solver(
+        mesh, {"strips": op.strips}, _band_local_dp(op, sr),
+        key=_static_key(op, sr),
+    )
+
+
 def sharded_spmv_band(
     mesh: Mesh,
     op: ShardedBandOperand,
@@ -278,9 +287,7 @@ def sharded_spmv_band(
     x_pad = jnp.pad(x.astype(sr.dtype), (0, r_pad - x.shape[0]),
                     constant_values=zero)
     arrays = {"strips": op.strips}
-    solver = fixcore.make_spmv_solver(
-        mesh, arrays, _band_local_dp(op, sr), key=_static_key(op, sr)
-    )
+    solver = _spmv_solver(mesh, op, sr)
     arrs = fixcore.shard_operand(mesh, arrays)
     x_sh = jax.device_put(x_pad, NamedSharding(mesh, P(ROWS_AXIS)))
     return solver(arrs, x_sh)[:n_rows]
