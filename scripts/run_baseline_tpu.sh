@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# BASELINE.json reproduction — run from /root/repo on the TPU-attached host.
+#
+# Config #1: the five reference example matrices × the full default
+#            variant×geometry sweep (gold-checked, 5 trials each).
+# Config #2: the reference runfile.csv / runfile2.csv launch-geometry
+#            sweeps mapped onto block geometries (harness/sweep.py:
+#            load_runfile) for the Pallas BSR kernel.
+#
+# Results land in results/baseline_tpu/ as one JSONL (+ .sql) per
+# (matrix, sweep point); interrupted runs resume (existing files skip).
+# Aggregate with:  python scripts/aggregate_results.py results/baseline_tpu
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+M=/root/reference/example
+MATRICES="$M/matrix.mtx $M/matrix2.mtx $M/matrix3.mtx $M/matrix4.mtx $M/matrix5.mtx"
+
+python scripts/run_experiments.py \
+  --matrices $MATRICES \
+  --outdir results/baseline_tpu --trials 5 --sql \
+  --experiment-id baseline_config1 "$@"
+
+python scripts/run_experiments.py \
+  --matrices $MATRICES \
+  --runfile "$M/runfile2.csv" --variants bsr_pallas \
+  --outdir results/baseline_tpu --trials 5 --sql \
+  --experiment-id baseline_config2 "$@"
+
+python scripts/aggregate_results.py results/baseline_tpu \
+  | tee results/baseline_tpu/best_kernel_table.txt
