@@ -55,7 +55,11 @@ def main() -> int:
     on_tpu = jax.default_backend() == "tpu"
     n = 1 << 19 if on_tpu else 1 << 13
     band = 63
-    k = 32 if on_tpu else 2
+    # k=16: the 2k=32 chain is the same length as bench.py's plain chain;
+    # scan-of-(shard_map + 3 pallas_calls) programs remote-compile very
+    # slowly (~10+ min), so keep the longest chain at 32 — the (t_2k−t_k)
+    # signal is ~17 ms against ~2-3 ms dispatch jitter
+    k = 16 if on_tpu else 2
     trials = 6 if on_tpu else 2
     coo = banded_coo(n, band, seed=1)
 
@@ -64,7 +68,7 @@ def main() -> int:
                              geometry=Geometry(8, 128), seed=2)
     res = benchmark_spmv(
         prob, gold=None,
-        config=BenchmarkConfig(trials=trials, inner_iters=k),
+        config=BenchmarkConfig(trials=trials, inner_iters=2 * k),
         geometry=Geometry(8, 128), matrix_name=f"banded{n}", nnz=coo.nnz,
     )
     plain_ms = res.median_ns / 1e6
