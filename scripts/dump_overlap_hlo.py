@@ -72,37 +72,41 @@ def main() -> int:
         from functools import partial
 
         from jax import shard_map
-        from sparseharness_tpu.ops import pallas_bsr_band as pbb
+        from sparseharness_tpu.parallel import fixcore
         from sparseharness_tpu.parallel import sharded_band as sb
 
-        halo = op.halo
+        arrays = sb.band_arrays(op)
+        local_dp = sb._band_local_dp(op, PLUS_TIMES)
 
         @partial(
             shard_map, mesh=mesh,
-            in_specs=(P(ROWS_AXIS, None, None, None), P(ROWS_AXIS)),
+            in_specs=(fixcore.row_specs(arrays), P(ROWS_AXIS)),
             out_specs=P(ROWS_AXIS), check_vma=False,
         )
-        def run(strips, x_local):
-            fl, fr = sb._edge_exchange(x_local, halo, ROWS_AXIS)
-            return sb._local_band_dp(op, strips[0], x_local, fl, fr,
-                                     PLUS_TIMES)
+        def run(op_local, x_local):
+            return local_dp(op_local, x_local)
 
-        strips_s = jax.ShapeDtypeStruct(
-            op.strips.shape, op.strips.dtype,
-            sharding=NamedSharding(mesh, P(ROWS_AXIS, None, None, None)))
+        arrays_s = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(
+                a.shape, a.dtype,
+                sharding=NamedSharding(
+                    mesh, P(ROWS_AXIS, *([None] * (a.ndim - 1))))),
+            arrays)
         x_s = jax.ShapeDtypeStruct(
             (r_pad,), jnp.float32,
             sharding=NamedSharding(mesh, P(ROWS_AXIS)))
-        lowered = jax.jit(run).lower(strips_s, x_s)
+        lowered = jax.jit(run).lower(arrays_s, x_s)
         compiled = lowered.compile()
         hlo = compiled.as_text()
     else:
+        from sparseharness_tpu.parallel import fixcore
+        from sparseharness_tpu.parallel.sharded_band import band_arrays
+
         solver = _spmv_solver(mesh, op, PLUS_TIMES)
-        strips = jax.device_put(
-            op.strips, NamedSharding(mesh, P(ROWS_AXIS, None, None, None)))
+        arrays = fixcore.shard_operand(mesh, band_arrays(op))
         x = jax.device_put(
             jnp.ones(r_pad, jnp.float32), NamedSharding(mesh, P(ROWS_AXIS)))
-        lowered = jax.jit(solver).lower(strips, x)
+        lowered = jax.jit(solver).lower(arrays, x)
         compiled = lowered.compile()
         hlo = compiled.as_text()
 

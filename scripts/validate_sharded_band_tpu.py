@@ -48,7 +48,7 @@ def main() -> int:
     from sparseharness_tpu.parallel import fixcore, make_mesh
     from sparseharness_tpu.parallel.mesh import ROWS_AXIS
     from sparseharness_tpu.parallel.sharded_band import (
-        _band_local_dp, build_sharded_band,
+        _band_local_dp, band_arrays, build_sharded_band,
     )
     from sparseharness_tpu.semiring import PLUS_TIMES
 
@@ -78,7 +78,7 @@ def main() -> int:
     mesh = make_mesh(1)
     sr = PLUS_TIMES
     op, chunk = build_sharded_band(coo, sr, 1)
-    arrays = {"strips": op.strips}
+    arrays = band_arrays(op)
     local_dp = _band_local_dp(op, sr)
 
     def chained(length):

