@@ -118,7 +118,20 @@ def _chained_fn(problem, k: int):
     return jax.jit(f)
 
 
-def _measure_chained(problem, config: BenchmarkConfig):
+def _effective_inner_iters(config: BenchmarkConfig, square: bool) -> int:
+    """On the TPU backend, single-dispatch walls measure the ~28 ms axon
+    RPC floor, not the kernel (CLAUDE.md gotchas; ADVICE r2: every
+    inner_iters=1 baseline artifact was dispatch noise). Chained two-point
+    timing with K ≥ 32 is therefore the *default* there whenever the
+    operand is square (output feeds back as the next x); an explicit
+    inner_iters > 1 is always honored."""
+    k = config.inner_iters
+    if k == 1 and square and jax.default_backend() == "tpu":
+        return 32
+    return k
+
+
+def _measure_chained(problem, config: BenchmarkConfig, k: int):
     """Per-op seconds via the two-point method; returns list of per-trial
     per-op times (seconds).
 
@@ -126,7 +139,6 @@ def _measure_chained(problem, config: BenchmarkConfig):
     too: the per-trial wall cap covers one f1+f2 pair and ratchets down to
     2x the best observed pair, so a hung sweep point stops after the first
     slow trial instead of running all trials (VERDICT r1 weak #3)."""
-    k = config.inner_iters
     f1 = _chained_fn(problem, k)
     f2 = _chained_fn(problem, 2 * k)
     op, x, y = problem.operand, problem.x0, problem.y
@@ -199,8 +211,9 @@ def benchmark_spmv(
     timeout = config.timeout_s
     best = float("inf")
     square = problem.x0.shape[0] == problem.n_rows
-    if config.inner_iters > 1 and square:
-        for trial, dt in enumerate(_measure_chained(problem, config)):
+    k_eff = _effective_inner_iters(config, square)
+    if k_eff > 1 and square:
+        for trial, dt in enumerate(_measure_chained(problem, config, k_eff)):
             report_timing("executeKernel", "benchmark_spmv", dt * 1e3)
             best = min(best, dt)
             corr = correctness

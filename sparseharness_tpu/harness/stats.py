@@ -62,29 +62,33 @@ def to_jsonl(rec: BenchRecord) -> str:
 
 
 _SQL_COLUMNS = (
-    "time, correct, kernel, global0, local0, host, device, matrix, "
+    "time, correct, kernel, global, local, host, device, matrix, "
     "iteration, trial, statistic, experiment_id"
 )
 
 
 def to_sql(rec: BenchRecord, table_name: str = "table_name") -> str:
-    """INSERT INTO row matching the reference's column set
-    (inc/sql_stat.h:44-50; `global/local` become the geometry split)."""
+    """INSERT INTO row matching the reference's renderer: time in
+    *milliseconds* (ns/1e6, inc/sql_stat.h:34), columns `global, local`
+    (inc/sql_stat.h:46-48), double-quoted strings — so the rows drop into
+    the reference's MySQL post-processing unchanged. The geometry split
+    BMxBN stands in for the NDRange global/local sizes; non-numeric
+    geometry (fixpoint rows use '-') renders as 0."""
     bm, _, bn = rec.geometry.partition("x")
     vals = ", ".join(
         [
-            f"{rec.time_ns:.0f}",
-            f"'{rec.correctness.value}'",
-            f"'{rec.kernel}'",
-            bm or "0",
-            bn or "0",
-            f"'{rec.host}'",
-            f"'{rec.device}'",
-            f"'{rec.matrix}'",
+            f"{rec.time_ns / 1e6:g}",
+            f'"{rec.correctness.value}"',
+            f'"{rec.kernel}"',
+            bm if bm.isdigit() else "0",
+            bn if bn.isdigit() else "0",
+            f'"{rec.host}"',
+            f'"{rec.device}"',
+            f'"{rec.matrix}"',
             str(rec.iteration),
             str(rec.trial),
-            f"'{rec.statistic.value}'",
-            f"'{rec.experiment_id}'",
+            f'"{rec.statistic.value}"',
+            f'"{rec.experiment_id}"',
         ]
     )
     return f"INSERT INTO {table_name} ({_SQL_COLUMNS}) VALUES ({vals});"

@@ -188,9 +188,9 @@ def build_sharded_sell(
     )
 
 
-def _local_sell_dp(op: ShardedSellOperand, op_local, x_local, sr: Semiring):
-    """Per-shard dp: all_gather x over ICI, then the sell2 panel sweep."""
-    x_full = jax.lax.all_gather(x_local, ROWS_AXIS, tiled=True)[: op.n_cols]
+def _sell_dp_full(op: ShardedSellOperand, op_local, x_full, sr: Semiring):
+    """Per-shard sell2 panel sweep against an already-available full x
+    (all-gathered here, or the frontier path's device-local cache)."""
     # rebuild the device-local slab list from the traced pytree
     slabs_l = []
     it = iter(op_local["slabs"])
@@ -211,6 +211,12 @@ def _local_sell_dp(op: ShardedSellOperand, op_local, x_local, sr: Semiring):
     zero = jnp.asarray(sr.zero, sr.dtype)
     # ⊕-identity clamp (saturate float overflow on padded slots)
     return sr.add(dp, jnp.full_like(dp, zero))
+
+
+def _local_sell_dp(op: ShardedSellOperand, op_local, x_local, sr: Semiring):
+    """Per-shard dp: all_gather x over ICI, then the sell2 panel sweep."""
+    x_full = jax.lax.all_gather(x_local, ROWS_AXIS, tiled=True)[: op.n_cols]
+    return _sell_dp_full(op, op_local, x_full, sr)
 
 
 def _traced_arrays(op: ShardedSellOperand):

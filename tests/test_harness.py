@@ -67,7 +67,11 @@ def test_sql_and_jsonl_rendering():
     ).finalize()
     sql = to_sql(rec, "results")
     assert sql.startswith("INSERT INTO results (")
-    assert "'correct'" in sql and "'ell'" in sql and "'e1'" in sql
+    # reference renderer parity (inc/sql_stat.h:34,46-48): ms units,
+    # `global, local` column names, double-quoted strings
+    assert '"correct"' in sql and '"ell"' in sql and '"e1"' in sql
+    assert " global, local," in sql
+    assert "0.012345," in sql  # 12345 ns -> 0.012345 ms
     d = json.loads(to_jsonl(rec))
     assert d["correctness"] == "correct" and d["gnnz_per_s"] > 0
     buf_j, buf_s = io.StringIO(), io.StringIO()

@@ -186,3 +186,26 @@ def test_frontier_budget_overflow_falls_back_dense(mesh):
     res = frontier_bfs(g, root=0, mesh=mesh, budget=4)
     assert np.array_equal(np.asarray(res.x), bfs_reach_gold(g, 0))
     assert res.dense_fallbacks > 0
+
+
+@mesh_mark
+def test_frontier_local_compute_is_sell(mesh):
+    """VERDICT r2 weak #2: the frontier path's local compute must be the
+    Pallas sell2 kernel (not the scalar-gather ELL dp) whenever the
+    structure packs — and both locals must agree with the gold."""
+    from sparseharness_tpu.parallel import frontier_bfs, frontier_sssp
+
+    g = power_law_coo(3000, 9000, seed=13)
+    res = frontier_bfs(g, root=0, mesh=mesh, budget=512)
+    assert res.local == "sell"
+    assert np.array_equal(np.asarray(res.x), bfs_reach_gold(g, 0))
+
+    res_ell = frontier_bfs(g, root=0, mesh=mesh, budget=512, local="ell")
+    assert res_ell.local == "ell"
+    assert np.array_equal(np.asarray(res_ell.x), np.asarray(res.x))
+
+    w = random_graph_coo(1200, 4.0, seed=14)
+    res_s = frontier_sssp(w, root=0, mesh=mesh, budget=256, local="sell")
+    assert res_s.local == "sell"
+    np.testing.assert_allclose(np.asarray(res_s.x), sssp_gold(w, 0),
+                               rtol=1e-5)
