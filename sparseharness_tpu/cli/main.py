@@ -164,7 +164,8 @@ def _roots_list(args) -> list:
 
 def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
                    kernel_name="fixpoint", sharded_solve=None, algo=None,
-                   reorderable=True, supports_roots=False, add_args=None):
+                   reorderable=True, supports_roots=False, add_args=None,
+                   frontier_solve=None):
     p = _common_parser(description)
     if add_args is not None:
         add_args(p)
@@ -177,6 +178,26 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
     p.add_argument("--stepped", action="store_true",
                    help="host-stepped per-iteration timing records "
                         "(the reference's RAW_RESULT-per-iteration mode)")
+    if sharded_solve is not None:
+        p.add_argument("--sharded-mode", dest="sharded_mode",
+                       choices=["auto", "band", "sell", "halo", "gather"],
+                       default="auto",
+                       help="--mesh exchange/local-compute mode: band = "
+                            "Pallas band kernel + ring halo ppermute, sell "
+                            "= Pallas sell2 crossbar kernel + all-gather, "
+                            "halo = ELL-gather + neighbour window, gather "
+                            "= ELL-gather + all-gather; auto prefers the "
+                            "first structure-eligible one")
+    if frontier_solve is not None:
+        p.add_argument("--frontier", action="store_true",
+                       help="frontier-compressed all_to_all exchange: send "
+                            "only changed (index, value) entries per "
+                            "iteration instead of the dense all-gather "
+                            "(monotone semirings; composes with --mesh)")
+        p.add_argument("--budget", type=int, default=1024,
+                       help="--frontier: max changed entries sent per "
+                            "(src, dst) pair per iteration; overflow falls "
+                            "back to a dense all-gather for that iteration")
     args = p.parse_args(argv)
     if args.reorder and not reorderable:
         p.error(f"--reorder is not supported for {kernel_name}")
@@ -185,6 +206,13 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
             p.error(f"--roots is not supported for {kernel_name}")
         if args.stepped:
             p.error("--roots is not supported with --stepped")
+    if getattr(args, "frontier", False):
+        if getattr(args, "roots", None):
+            p.error("--frontier is single-source (no --roots)")
+        if args.stepped:
+            p.error("--frontier runs the fused on-device loop (no --stepped)")
+        if args.reorder:
+            p.error("--frontier does not compose with --reorder")
     coo = _setup(args)
     from sparseharness_tpu.harness import BenchmarkConfig, benchmark_fixpoint
     from sparseharness_tpu.harness.runner import benchmark_fixpoint_stepped
@@ -195,7 +223,41 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
     )
     gold = None if args.no_gold else gold_fn(coo, args)
 
-    if args.mesh > 1:
+    if getattr(args, "frontier", False):
+        from sparseharness_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
+        held = {}
+
+        def _solve_frontier():
+            held["res"] = frontier_solve(coo, args, mesh)
+            return held["res"]
+
+        res = benchmark_fixpoint(
+            _solve_frontier,
+            gold=gold, config=config, matrix_name=args.matrix_name or args.matrix,
+            kernel_name=f"{kernel_name}:frontier{args.mesh}", nnz=coo.nnz,
+            exact=exact,
+        )
+        fr = held["res"]
+        # the measured exchange saving rides into every JSONL row
+        for r in res.records:
+            r.kernel = f"{kernel_name}:frontier{args.mesh}:{fr.local}"
+            r.extra = {
+                "frontier_local": fr.local,
+                "sent_entries": fr.sent_entries,
+                "exchanged_bytes": fr.exchanged_bytes(),
+                "allgather_bytes": fr.allgather_bytes(coo.shape[0]),
+                "dense_fallbacks": fr.dense_fallbacks,
+                "budget": args.budget,
+            }
+        print(
+            f"frontier[{fr.local}]: {fr.sent_entries} entries "
+            f"({fr.exchanged_bytes()} B) exchanged vs "
+            f"{fr.allgather_bytes(coo.shape[0])} B all-gather; "
+            f"{fr.dense_fallbacks} dense fallbacks"
+        )
+    elif args.mesh > 1:
         if sharded_solve is None:
             p.error(f"--mesh not supported for {kernel_name}")
         from sparseharness_tpu.parallel import make_mesh
@@ -204,7 +266,9 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
         res = benchmark_fixpoint(
             lambda: sharded_solve(coo, args, mesh),
             gold=gold, config=config, matrix_name=args.matrix_name or args.matrix,
-            kernel_name=f"{kernel_name}:sharded{args.mesh}", nnz=coo.nnz,
+            kernel_name=(f"{kernel_name}:sharded{args.mesh}:"
+                         f"{getattr(args, 'sharded_mode', 'auto')}"),
+            nnz=coo.nnz,
             exact=exact,
         )
     elif args.stepped and algo is not None:
@@ -254,9 +318,16 @@ def sssp_main(argv: Optional[list] = None) -> int:
             from sparseharness_tpu.parallel import sharded_multi_sssp
 
             return sharded_multi_sssp(coo, _roots_list(a), mesh=m,
-                                      max_iter=a.max_iter, reorder=a.reorder)
+                                      max_iter=a.max_iter, reorder=a.reorder,
+                                      mode=a.sharded_mode)
         return sharded_sssp(coo, a.root, mesh=m, max_iter=a.max_iter,
-                            reorder=a.reorder)
+                            reorder=a.reorder, mode=a.sharded_mode)
+
+    def _frontier(coo, a, m):
+        from sparseharness_tpu.parallel import frontier_sssp
+
+        return frontier_sssp(coo, a.root, mesh=m, budget=a.budget,
+                             max_iter=a.max_iter)
 
     return _fixpoint_main(
         "SSSP min-plus fixpoint (app/sssp.cpp); --roots batches sources "
@@ -266,6 +337,7 @@ def sssp_main(argv: Optional[list] = None) -> int:
         needs_root=True, argv=argv, kernel_name="sssp", algo="sssp",
         supports_roots=True,
         sharded_solve=_sharded,
+        frontier_solve=_frontier,
     )
 
 
@@ -293,9 +365,16 @@ def bfs_main(argv: Optional[list] = None) -> int:
             from sparseharness_tpu.parallel import sharded_multi_bfs
 
             return sharded_multi_bfs(coo, _roots_list(a), mesh=m,
-                                     max_iter=a.max_iter, reorder=a.reorder)
+                                     max_iter=a.max_iter, reorder=a.reorder,
+                                     mode=a.sharded_mode)
         return sharded_bfs(coo, a.root, mesh=m, max_iter=a.max_iter,
-                           reorder=a.reorder)
+                           reorder=a.reorder, mode=a.sharded_mode)
+
+    def _frontier(coo, a, m):
+        from sparseharness_tpu.parallel import frontier_bfs
+
+        return frontier_bfs(coo, a.root, mesh=m, budget=a.budget,
+                            max_iter=a.max_iter)
 
     return _fixpoint_main(
         "BFS or/and fixpoint (app/bfs.cpp); --roots batches sources "
@@ -305,6 +384,7 @@ def bfs_main(argv: Optional[list] = None) -> int:
         needs_root=True, argv=argv, exact=True, kernel_name="bfs", algo="bfs",
         supports_roots=True,
         sharded_solve=_sharded,
+        frontier_solve=_frontier,
     )
 
 
@@ -322,7 +402,8 @@ def pr_main(argv: Optional[list] = None) -> int:
         lambda coo, a: pagerank_gold(coo),
         needs_root=False, argv=argv, kernel_name="pagerank", algo="pagerank",
         sharded_solve=lambda coo, a, m: sharded_pagerank(
-            coo, mesh=m, max_iter=a.max_iter or 1000, reorder=a.reorder),
+            coo, mesh=m, max_iter=a.max_iter or 1000, reorder=a.reorder,
+            mode=a.sharded_mode),
     )
 
 
@@ -366,9 +447,10 @@ def scc_main(argv: Optional[list] = None) -> int:
 
     def _sharded(coo, a, m):
         if a.full:
-            return _full_result(*sharded_scc(coo, mesh=m,
-                                             max_iter=a.max_iter))
-        return sharded_scc_forward(coo, mesh=m, max_iter=a.max_iter)
+            return _full_result(*sharded_scc(coo, mesh=m, max_iter=a.max_iter,
+                                             mode=a.sharded_mode))
+        return sharded_scc_forward(coo, mesh=m, max_iter=a.max_iter,
+                                   mode=a.sharded_mode)
 
     def _gold(coo, a):
         if a.full:
@@ -405,7 +487,8 @@ def eigenvector_main(argv: Optional[list] = None) -> int:
         needs_root=False, argv=argv, kernel_name="eigenvector",
         algo="eigenvector",
         sharded_solve=lambda coo, a, m: sharded_eigenvector(
-            coo, mesh=m, max_iter=a.max_iter or 1000, reorder=a.reorder),
+            coo, mesh=m, max_iter=a.max_iter or 1000, reorder=a.reorder,
+            mode=a.sharded_mode),
     )
 
 

@@ -45,6 +45,9 @@ class BenchRecord:
     gflops: float = 0.0
     gnnz_per_s: float = 0.0
     roofline_frac: float = 0.0
+    # mode-specific metrics (e.g. the frontier exchange's measured bytes);
+    # serialized into the JSONL row, absent from the SQL parity columns
+    extra: dict = dataclasses.field(default_factory=dict)
 
     def finalize(self) -> "BenchRecord":
         if self.nnz and self.time_ns > 0:
@@ -58,6 +61,8 @@ def to_jsonl(rec: BenchRecord) -> str:
     d = dataclasses.asdict(rec)
     d["correctness"] = rec.correctness.value
     d["statistic"] = rec.statistic.value
+    if not d["extra"]:
+        del d["extra"]
     return json.dumps(d)
 
 
