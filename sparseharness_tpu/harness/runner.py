@@ -118,16 +118,35 @@ def _chained_fn(problem, k: int):
     return jax.jit(f)
 
 
-def _effective_inner_iters(config: BenchmarkConfig, square: bool) -> int:
+def _effective_inner_iters(config: BenchmarkConfig, square: bool,
+                           problem=None) -> int:
     """On the TPU backend, single-dispatch walls measure the ~28 ms axon
     RPC floor, not the kernel (CLAUDE.md gotchas; ADVICE r2: every
     inner_iters=1 baseline artifact was dispatch noise). Chained two-point
-    timing with K ≥ 32 is therefore the *default* there whenever the
-    operand is square (output feeds back as the next x); an explicit
-    inner_iters > 1 is always honored."""
+    timing is therefore the *default* there whenever the operand is square
+    (output feeds back as the next x); an explicit inner_iters > 1 is
+    always honored.
+
+    The chain length is sized to the operand: (t_2K − t_K) must dwarf the
+    ~ms dispatch jitter, so K targets ≥ ~8 ms of chained kernel work —
+    K=32 suffices for SuiteSparse-scale operands, but the reference's tiny
+    example matrices (µs kernels) need K in the thousands or the diff
+    signal is pure noise (reported as absurd Gnnz/s — the round-3 fix of
+    ADVICE r2's round-2 finding)."""
     k = config.inner_iters
-    if k == 1 and square and jax.default_backend() == "tpu":
-        return 32
+    if k != 1 or not square or jax.default_backend() != "tpu":
+        return k
+    k = 32
+    if problem is not None:
+        op_bytes = sum(
+            l.size * l.dtype.itemsize
+            for l in jax.tree_util.tree_leaves(problem.operand)
+            if hasattr(l, "dtype")
+        )
+        # conservative stream estimate, floored at ~2 µs in-scan dispatch
+        est_op_s = max(op_bytes / 400e9, 2e-6)
+        k = int(0.008 / est_op_s)
+        k = max(32, min(8192, 1 << max(k.bit_length() - 1, 0)))
     return k
 
 
@@ -211,7 +230,7 @@ def benchmark_spmv(
     timeout = config.timeout_s
     best = float("inf")
     square = problem.x0.shape[0] == problem.n_rows
-    k_eff = _effective_inner_iters(config, square)
+    k_eff = _effective_inner_iters(config, square, problem)
     if k_eff > 1 and square:
         for trial, dt in enumerate(_measure_chained(problem, config, k_eff)):
             report_timing("executeKernel", "benchmark_spmv", dt * 1e3)

@@ -91,6 +91,24 @@ def band_arrays(op: "ShardedBandOperand") -> dict:
     return d
 
 
+def without_overlap_split(op: ShardedBandOperand) -> ShardedBandOperand:
+    """The same operand with the interior/boundary overlap split disabled:
+    every group becomes a 'tail' boundary group (g_lo = g_hi = 0), so each
+    iteration runs ONE full-window pallas_call that waits for both edge
+    ppermutes. The A/B foil for measuring what the split buys/costs
+    (VERDICT r2 missing #4)."""
+    all_strips = jnp.concatenate(
+        [a for a in (op.strips_head, op.strips_int, op.strips_tail)
+         if a.shape[1]],
+        axis=1,
+    )
+    empty = all_strips[:, :0]
+    return op._replace(
+        strips_head=empty, strips_int=empty, strips_tail=all_strips,
+        g_lo=0, g_hi=0,
+    )
+
+
 def build_sharded_band(
     coo: COO,
     sr: Semiring,
@@ -98,6 +116,7 @@ def build_sharded_band(
     bm: int = 8,
     bn: int = 128,
     value_dtype: str = "float32",
+    max_window: int = MAX_WINDOW_BLOCKS,
 ) -> Tuple[ShardedBandOperand, int]:
     """Row-block partition with window-local affine band structure.
 
@@ -153,15 +172,15 @@ def build_sharded_band(
     c0 = int(np.min((min_bc - g_of_key)[occupied]))
     base_k = np.clip(g_of_key + c0, 0, None)
     k_win = int(np.max((max_bc - base_k + 1)[occupied]))
-    if k_win > MAX_WINDOW_BLOCKS:
+    if k_win > max_window:
         raise NotImplementedError(
-            f"window of {k_win} x-blocks exceeds {MAX_WINDOW_BLOCKS}: "
+            f"window of {k_win} x-blocks exceeds {max_window}: "
             "matrix is not banded enough for the sharded band kernel"
         )
     base_k = np.clip(g_of_key + c0, 0, max(wblocks - k_win, 0))
     if np.any(bc < base_k[key]) or np.any(bc >= base_k[key] + k_win):
         k_win += int(np.max(bc - (base_k[key] + k_win - 1)).clip(0))
-        if k_win > MAX_WINDOW_BLOCKS:
+        if k_win > max_window:
             raise NotImplementedError("edge clamping exceeds window limit")
         base_k = np.clip(g_of_key + c0, 0, max(wblocks - k_win, 0))
         if np.any(bc < base_k[key]) or np.any(bc >= base_k[key] + k_win):

@@ -217,3 +217,24 @@ def test_checkpoint_fingerprint_mismatch_refused(tmp_path, mesh):
             sharded_fixpoint, mesh, op, x0_other, sr, n_rows=n,
             combine=combine_min, ckpt_path=ckpt, every=1, max_iter=2,
         )
+
+
+def test_without_overlap_split_matches(mesh, band8k):
+    """The A/B foil (single full-window call per iteration) must compute
+    exactly the same fixpoint as the overlap-split operand."""
+    from sparseharness_tpu.parallel.sharded_band import without_overlap_split
+    from sparseharness_tpu.parallel.sharded import combine_min
+
+    op, _ = build_sharded_band(band8k, MIN_PLUS, 8)
+    op_b = without_overlap_split(op)
+    assert op_b.g_lo == op_b.g_hi == 0
+    assert op_b.strips_head.shape[1] == op_b.strips_int.shape[1] == 0
+    n = band8k.shape[0]
+    x0 = np.full(n, np.finfo(np.float32).max, np.float32)
+    x0[0] = 0.0
+    ra = sharded_fixpoint_band(mesh, op, x0, MIN_PLUS, n_rows=n,
+                               combine=combine_min, max_iter=12)
+    rb = sharded_fixpoint_band(mesh, op_b, x0, MIN_PLUS, n_rows=n,
+                               combine=combine_min, max_iter=12)
+    assert np.array_equal(np.asarray(ra.x), np.asarray(rb.x))
+    assert ra.iterations == rb.iterations
