@@ -47,10 +47,14 @@ stream. For each panel the kernel does, entirely in registers:
 Per-panel HBM traffic is 3 words/slot (vals + two packed index words =
 12 B/slot f32, 10 B bf16); all index fields ride two int32 arrays::
 
-  wordA[l, v] = a1 | a2<<7 | cap1<<14 | cap2<<17
-                | route_hi_lane<<20 | route_hi_tile<<27
+  wordA[l, v] = a1 | a2<<7 | cap1<<14 | cap2<<18
+                | route_hi_lane<<22 | route_hi_tile<<29
   wordB[u, v] = lanesel | route_lo_lane<<7 | route_lo_tile<<14
                 | blk1<<15 | blk0<<22 | way<<29
+
+cap fields are 4 bits storing level+1: v=1 captures the raw aligned tile
+before any butterfly level (singleton runs — width 1, no reduce work),
+v=k+1 captures after level k, v=0 never captures.
 
 The words pack fields with *different* index semantics positionally:
 a/cap are [row-class, aligned-slot], route_lo/hi are [row-class, out-slot
@@ -63,11 +67,13 @@ them):
 - stream sublane 127 of every panel is reserved: vals = 0̄ there, so its
   contribs are the ⊕-identity (0̄ is the ⊗-annihilator);
 - per (panel, lane) at most 127 entries; each row's per-panel entries form
-  ONE run padded to pow2 width w ∈ {2,...,128} at a w-aligned offset, and
-  Σ w ≤ 254 per lane (guaranteed: Σ next_pow2(k) ≤ 2·Σ k ≤ 254), so
-  aligned slots 254/255 — tile-2 lanes 126/127 — are never captured and
-  lane 126 (of tile 2 when in play, else tile 1, where the builder keeps
-  slots 126/127 free) is the default identity route;
+  ONE run padded to pow2 width w ∈ {1,...,128} at a w-aligned offset, and
+  Σ w ≤ 254 per lane (guaranteed: Σ next_pow2(k) ≤ 2·Σ k ≤ 254; width-1
+  singleton runs — the bulk on scattered structure — consume exactly one
+  slot, so most panels stay within 126 slots and need only ONE align
+  tile), so aligned slots 254/255 — tile-2 lanes 126/127 — are never
+  captured and lane 126 (of tile 2 when in play, else tile 1, where the
+  builder keeps slots 126/127 free) is the default identity route;
 - a panel's entries all come from one 16K-column x chunk;
 - rows longer than SPLIT_T are pre-split into col-striped overflow pieces
   (consecutive row ids past the padded base space, cycling lanes mod 128 —
@@ -151,8 +157,9 @@ class Sell2Operand:
 
 
 def _next_pow2(k: np.ndarray) -> np.ndarray:
-    """Elementwise run width: max(2, next pow2 ≥ k)."""
-    k = np.maximum(k, 2)
+    """Elementwise run width: next pow2 ≥ k (singletons stay width 1 —
+    they capture *before* the butterfly, cap level 0)."""
+    k = np.maximum(k, 1)
     return (1 << np.ceil(np.log2(k)).astype(np.int64)).astype(np.int64)
 
 
@@ -167,8 +174,18 @@ def _grouped_exclusive_cumsum(vals: np.ndarray, group_key: np.ndarray):
 
 
 def build_sell2(coo: COO, sr: Semiring,
-                value_dtype: str = "float32") -> Sell2Operand:
-    """Pack a COO matrix into the panel-stream layout (pure NumPy)."""
+                value_dtype: str = "float32",
+                split_calls: bool = True) -> Sell2Operand:
+    """Pack a COO matrix into the panel-stream layout (pure NumPy).
+
+    ``split_calls``: bucket each slab's panels by (butterfly depth group,
+    two-tile alignment) into separate pallas_calls, so the 60%+ of panels
+    on scattered structure whose runs are ALL singletons (depth 0, one
+    align tile) skip the butterfly entirely instead of paying the slab's
+    worst-case depth × two tiles (VERDICT r2 weak #3). Multiple layouts
+    then share a row0; dp_sell2 ⊕-combines their out tiles. The sharded
+    builder passes False (its cross-shard layout union needs one call per
+    slab index)."""
     n, c = coo.shape
     _, _, _, _, zero, as_int = _carrier(sr)
     np_dtype = np.int32 if as_int else np.dtype(sr.dtype)
@@ -321,24 +338,45 @@ def build_sell2(coo: COO, sr: Semiring,
             cnt_cbl[np.maximum(np.asarray(pair_b_cb), 0)], 0)
         demand_pair = (dA + dB).max(axis=1)
 
-        # chunk-major stream with panel-aligned chunk boundaries (pairs
-        # are already emitted in chunk order above)
+        # chunk-major stream packed CONTIGUOUSLY across chunk boundaries:
+        # a panel may mix sublanes from up to TWO chunks (the kernel
+        # prefetches two xT tiles per panel; a per-sublane bit selects
+        # one), so each chunk's segment starts wherever the previous
+        # ended. The old panel-per-chunk alignment rounded every (slab,
+        # chunk) group up to whole 127-sublane panels — ~55% of all slots
+        # were boundary padding on the zipf bench (674 panels for 28.6k
+        # demanded sublanes). A segment start is bumped to the next panel
+        # boundary only when its start panel already touches two chunks.
         off_pair = _grouped_exclusive_cumsum(demand_pair, pair_chunk_a)
         ch_u = np.unique(pair_chunk_a)
         ch_sub = np.zeros(len(ch_u), np.int64)
         ch_of_pair = np.searchsorted(ch_u, pair_chunk_a)
         np.add.at(ch_sub, ch_of_pair, demand_pair)
-        ch_panels = (ch_sub + USABLE - 1) // USABLE
-        ch_panel_base = np.cumsum(ch_panels) - ch_panels
-        P = int(ch_panels.sum())
+        seg_start = np.zeros(len(ch_u), np.int64)
+        panel_touch: List[List[int]] = []   # chunks touching each panel
+        q = 0
+        for ci in range(len(ch_u)):
+            p0 = q // USABLE
+            if p0 < len(panel_touch) and len(panel_touch[p0]) >= 2:
+                q = (p0 + 1) * USABLE
+            seg_start[ci] = q
+            q_end = q + int(ch_sub[ci])
+            for pp in range(q // USABLE, (q_end - 1) // USABLE + 1):
+                while len(panel_touch) <= pp:
+                    panel_touch.append([])
+                panel_touch[pp].append(int(ch_u[ci]))
+            q = q_end
+        P = (q + USABLE - 1) // USABLE
+        while len(panel_touch) < P:
+            panel_touch.append([])
 
         # per entry: pair, way, stacked position, panel, in-panel sublane
         pe = pair_of_cb[cb_inv]
         wy = way_of_cb[cb_inv]
         pos_in_pair = pos + np.where(wy == 1, dA[pe, oln], 0)
-        sub_local = off_pair[pe] + pos_in_pair        # within its chunk
-        panel = ch_panel_base[ch_of_pair[pe]] + sub_local // USABLE
-        s_sub = sub_local % USABLE
+        g_abs = seg_start[ch_of_pair[pe]] + off_pair[pe] + pos_in_pair
+        panel = g_abs // USABLE
+        s_sub = g_abs % USABLE
 
         slots = P * LANES * LANES
         total_slots += slots
@@ -366,7 +404,7 @@ def build_sell2(coo: COO, sr: Semiring,
         run_lane = run_row % LANES
         run_out = run_row // LANES
         run_w = _next_pow2(run_len)
-        run_level = np.log2(run_w).astype(np.int32)    # capture level 1..7
+        run_level = np.log2(run_w).astype(np.int32)    # capture level 0..7
 
         # aligned offsets: per (panel, lane), runs sorted by width desc
         order3 = np.lexsort((-run_w, run_lane, run_panel))
@@ -376,48 +414,58 @@ def build_sell2(coo: COO, sr: Semiring,
             raise AssertionError("sell2 internal: aligned budget exceeded")
         run_off = np.zeros(n_runs, np.int64)
         run_off[order3] = off3
-        bf_depth = int(run_level.max(initial=1))
+        bf_depth = int(run_level.max(initial=0))
         # lane 126/127 of the identity-route tile must stay un-captured
         two_tiles = bool((run_off + run_w).max(initial=0) > 126)
         has_hi = bool(run_out.max(initial=0) >= 128) or rows_slab > 16384
 
         # ---- array fills -------------------------------------------------
         vals_arr = np.full((P * LANES, LANES), zero, store_dtype)
-        # wordA default: align → identity sublane 127, cap 0, hi route =
-        # identity (lane 126 of the last align tile in play)
+        # wordA default: align → identity sublane 127, cap 0 (= never
+        # capture), hi route = identity (lane 126 of the last align tile)
         id_tile = 1 if two_tiles else 0
         wordA = np.full(
             (P * LANES, LANES),
-            127 | (127 << 7) | (126 << 20) | (id_tile << 27), np.int32)
+            127 | (127 << 7) | (126 << 22) | (id_tile << 29), np.int32)
         # wordB default: lanesel 0, lo route = identity, blk 0, way 0
         wordB = np.full(
             (P * LANES, LANES),
             (126 << 7) | (id_tile << 14), np.int32)
-        chunk_of_panel = np.zeros(P, np.int32)
-        for ci, (base, cnt) in enumerate(zip(ch_panel_base, ch_panels)):
-            chunk_of_panel[base:base + cnt] = ch_u[ci]
+        # two prefetched xT tiles per panel (the ≤2 chunks touching it;
+        # single-chunk panels carry the same id twice)
+        chunk_of_panel = np.zeros((P, 2), np.int32)
+        for pp, touch in enumerate(panel_touch):
+            if touch:
+                chunk_of_panel[pp, 0] = touch[0]
+                chunk_of_panel[pp, 1] = touch[1] if len(touch) > 1 else touch[0]
 
         flatA = panel * LANES + s_sub                  # stream row index
         vals_arr[flatA, oln] = vals_e[order]
         # lanesel (bits 0-6) + way (bit 29) at [stream-sublane, lane]
         wordB[flatA, oln] |= (col_lane[order].astype(np.int32)
                               | (wy.astype(np.int32) << 29))
-        # blk0/blk1 (bits 22-28 / 15-21) at [*, stream-sublane]: expand the
-        # pair spans into per-chunk streams, then scatter panel-wise
+        # blk0/blk1 (bits 22-28 / 15-21) + chunk-select (bit 30) at
+        # [*, stream-sublane]: expand the pair spans into the packed
+        # stream, then scatter panel-wise
         blk0_of_sub = np.zeros((P, LANES), np.int32)
         blk1_of_sub = np.zeros((P, LANES), np.int32)
+        csel_of_sub = np.zeros((P, LANES), np.int32)
         stream_pair = np.repeat(np.arange(npairs), demand_pair)
         g_in_chunk = _grouped_exclusive_cumsum(
             np.ones(len(stream_pair), np.int64), pair_chunk_a[stream_pair])
-        sp_panel = (ch_panel_base[ch_of_pair[stream_pair]]
-                    + g_in_chunk // USABLE)
-        sp_sub = g_in_chunk % USABLE
+        g_sub_abs = seg_start[ch_of_pair[stream_pair]] + g_in_chunk
+        sp_panel = g_sub_abs // USABLE
+        sp_sub = g_sub_abs % USABLE
         blk0_of_sub[sp_panel, sp_sub] = np.asarray(pair_blk0, np.int32)[
             stream_pair]
         blk1_of_sub[sp_panel, sp_sub] = np.asarray(pair_blk1, np.int32)[
             stream_pair]
+        csel_of_sub[sp_panel, sp_sub] = (
+            pair_chunk_a[stream_pair] == chunk_of_panel[sp_panel, 1]
+        ).astype(np.int32)
         wordB |= np.repeat(
-            ((blk0_of_sub << 22) | (blk1_of_sub << 15))[:, None, :],
+            ((blk0_of_sub << 22) | (blk1_of_sub << 15)
+             | (csel_of_sub << 30))[:, None, :],
             LANES, axis=1).reshape(P * LANES, LANES)
 
         # align crossbars: aligned slot j of row-class lane ← stream sublane
@@ -435,14 +483,16 @@ def build_sell2(coo: COO, sr: Semiring,
         wordA[iA2] = (wordA[iA2] & ~np.int32(127 << 7)) | (
             s2[hi].astype(np.int32) << 7)
 
-        # capture masks at [row-class, run offset lane]: cap1/cap2 3 bits
+        # capture masks at [row-class, run offset lane]: cap1/cap2 4 bits,
+        # stored value = level + 1 (1 = capture the raw aligned tile before
+        # the butterfly — singleton runs; 0 = never capture)
         rowR = run_panel * LANES + run_lane
         f_lo = run_off < LANES
         iC1 = (rowR[f_lo], run_off[f_lo])
-        wordA[iC1] |= run_level[f_lo] << 14
+        wordA[iC1] |= (run_level[f_lo] + 1) << 14
         f_hi = ~f_lo
         iC2 = (rowR[f_hi], run_off[f_hi] - LANES)
-        wordA[iC2] |= run_level[f_hi] << 17
+        wordA[iC2] |= (run_level[f_hi] + 1) << 18
 
         # route fields at [row-class, out-slot]: lo (wordB, o<128) and hi
         # (wordA, o≥128); clear the identity default, set the run's node
@@ -454,17 +504,49 @@ def build_sell2(coo: COO, sr: Semiring,
             (route_lane[o_lo] << 7) | (route_tile[o_lo] << 14))
         o_hi = ~o_lo
         iRhi = (rowR[o_hi], run_out[o_hi] - LANES)
-        wordA[iRhi] = (wordA[iRhi] & ~np.int32((127 << 20) | (1 << 27))) | (
-            (route_lane[o_hi] << 20) | (route_tile[o_hi] << 27))
+        wordA[iRhi] = (wordA[iRhi] & ~np.int32((127 << 22) | (1 << 29))) | (
+            (route_lane[o_hi] << 22) | (route_tile[o_hi] << 29))
 
-        slabs.append({
-            "chunk": jnp.asarray(chunk_of_panel),
-            "wordA": jnp.asarray(wordA),
-            "wordB": jnp.asarray(wordB),
-            "vals": jnp.asarray(vals_arr),
-        })
-        layouts.append(_SlabLayout(
-            r0, rows_slab, P, bf_depth, two_tiles, has_hi))
+        if not split_calls:
+            slabs.append({
+                "chunk": jnp.asarray(chunk_of_panel),
+                "wordA": jnp.asarray(wordA),
+                "wordB": jnp.asarray(wordB),
+                "vals": jnp.asarray(vals_arr),
+            })
+            layouts.append(_SlabLayout(
+                r0, rows_slab, P, bf_depth, two_tiles, has_hi))
+            continue
+
+        # ---- per-panel call bucketing ----------------------------------
+        # panel order is free (the chunk id rides scalar prefetch), so
+        # group panels with like static needs: depth groups {0} (pure
+        # singletons — no butterfly), {1,2}, {3+}; x alignment tiles {1,2}
+        p_depth = np.zeros(P, np.int64)
+        np.maximum.at(p_depth, run_panel, run_level.astype(np.int64))
+        p_end = np.zeros(P, np.int64)
+        np.maximum.at(p_end, run_panel, run_off + run_w)
+        p_two = p_end > 126
+        p_hi = np.zeros(P, bool)
+        np.logical_or.at(p_hi, run_panel, run_out >= LANES)
+        dgrp = np.where(p_depth == 0, 0, np.where(p_depth <= 2, 1, 2))
+        bkey = dgrp * 2 + p_two.astype(np.int64)
+        wa3 = wordA.reshape(P, LANES, LANES)
+        wb3 = wordB.reshape(P, LANES, LANES)
+        va3 = vals_arr.reshape(P, LANES, LANES)
+        for kk in np.unique(bkey):
+            sel = np.nonzero(bkey == kk)[0]
+            slabs.append({
+                "chunk": jnp.asarray(chunk_of_panel[sel]),
+                "wordA": jnp.asarray(wa3[sel].reshape(-1, LANES)),
+                "wordB": jnp.asarray(wb3[sel].reshape(-1, LANES)),
+                "vals": jnp.asarray(va3[sel].reshape(-1, LANES)),
+            })
+            layouts.append(_SlabLayout(
+                r0, rows_slab, len(sel), int(p_depth[sel].max()),
+                bool(p_two[sel].any()),
+                bool(p_hi[sel].any()) or rows_slab > 16384,
+            ))
 
     nnz = max(coo.nnz, 1)
     if ((total_slots > PAD_BLOWUP_LIMIT * nnz and total_slots > (1 << 20))
@@ -506,13 +588,28 @@ def _panel_call(slab, lay: _SlabLayout, xT: jax.Array, sr: Semiring,
     acc_dtype = jnp.int32 if as_int else jnp.dtype(sr.dtype)
     czero = np.asarray(zero, np.int32 if as_int else np.dtype(sr.dtype))
 
-    def kernel(chunk_ref, xT_ref, wa_ref, wb_ref, val_ref, out_ref):
+    def kernel(chunk_ref, xTa_ref, xTb_ref, wa_ref, wb_ref, val_ref,
+               out_ref):
         p = pl.program_id(0)
         wb = wb_ref[...]
-        # staging: y_w[l, s] = xT[l, blk_w[s]]; staged_w[s] = x row blk_w[s]
-        xc = xT_ref[...]
-        staged0 = jnp.take_along_axis(xc, (wb >> 22) & 127, axis=1).T
-        staged1 = jnp.take_along_axis(xc, (wb >> 15) & 127, axis=1).T
+        # staging: y_w[l, s] = xT_c[l, blk_w[s]] where the per-sublane
+        # chunk-select bit picks which of the panel's two prefetched xT
+        # tiles c is (panels span up to two 16K-column chunks)
+        xa = xTa_ref[...]
+        xb = xTb_ref[...]
+        csel = (wb >> 30) & 1
+        b0 = (wb >> 22) & 127
+        b1 = (wb >> 15) & 127
+        staged0 = jnp.where(
+            csel == 0,
+            jnp.take_along_axis(xa, b0, axis=1),
+            jnp.take_along_axis(xb, b0, axis=1),
+        ).T
+        staged1 = jnp.where(
+            csel == 0,
+            jnp.take_along_axis(xa, b1, axis=1),
+            jnp.take_along_axis(xb, b1, axis=1),
+        ).T
         # phase A: per-way x element crossbars, way select, semiring ⊗
         lanesel = wb & 127
         w0 = jnp.take_along_axis(staged0, lanesel, axis=1)
@@ -522,34 +619,36 @@ def _panel_call(slab, lay: _SlabLayout, xT: jax.Array, sr: Semiring,
         if vals.dtype != w.dtype:
             vals = vals.astype(w.dtype)
         contrib = mul(w, vals)
-        # phase B: class-major transpose, align crossbars, XOR butterfly
+        # phase B: class-major transpose, align crossbars, XOR butterfly.
+        # cap value v freezes the tile after level v-1 (v=1 captures the
+        # raw aligned tile — singleton runs skip the butterfly entirely)
         wa = wa_ref[...]
         tc = contrib.T
         t1 = jnp.take_along_axis(tc, wa & 127, axis=1)
-        cap1 = (wa >> 14) & 7
-        f1 = jnp.full_like(t1, czero)
+        cap1 = (wa >> 14) & 15
+        f1 = jnp.where(cap1 == 1, t1, jnp.full_like(t1, czero))
         if lay.two_tiles:
             t2 = jnp.take_along_axis(tc, (wa >> 7) & 127, axis=1)
-            cap2 = (wa >> 17) & 7
-            f2 = jnp.full_like(t2, czero)
+            cap2 = (wa >> 18) & 15
+            f2 = jnp.where(cap2 == 1, t2, jnp.full_like(t2, czero))
         iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
         for k in range(1, lay.depth + 1):
             idx = iota ^ (1 << (k - 1))
             t1 = add(t1, jnp.take_along_axis(t1, idx, axis=1))
-            f1 = jnp.where(cap1 == k, t1, f1)
+            f1 = jnp.where(cap1 == k + 1, t1, f1)
             if lay.two_tiles:
                 t2 = add(t2, jnp.take_along_axis(t2, idx, axis=1))
-                f2 = jnp.where(cap2 == k, t2, f2)
+                f2 = jnp.where(cap2 == k + 1, t2, f2)
         # route: per (row-class, out-slot) read the run's captured value
         q_lo = jnp.take_along_axis(f1, (wb >> 7) & 127, axis=1)
         if lay.two_tiles:
             q2 = jnp.take_along_axis(f2, (wb >> 7) & 127, axis=1)
             q_lo = jnp.where(((wb >> 14) & 1) == 0, q_lo, q2)
         if lay.has_hi:
-            q_hi = jnp.take_along_axis(f1, (wa >> 20) & 127, axis=1)
+            q_hi = jnp.take_along_axis(f1, (wa >> 22) & 127, axis=1)
             if lay.two_tiles:
-                q2h = jnp.take_along_axis(f2, (wa >> 20) & 127, axis=1)
-                q_hi = jnp.where(((wa >> 27) & 1) == 0, q_hi, q2h)
+                q2h = jnp.take_along_axis(f2, (wa >> 22) & 127, axis=1)
+                q_hi = jnp.where(((wa >> 29) & 1) == 0, q_hi, q2h)
             acc = jnp.concatenate([q_lo.T, q_hi.T], axis=0)[:d_out]
         else:
             acc = q_lo.T[:d_out]
@@ -564,7 +663,8 @@ def _panel_call(slab, lay: _SlabLayout, xT: jax.Array, sr: Semiring,
         num_scalar_prefetch=1,
         grid=(lay.panels,),
         in_specs=[
-            pl.BlockSpec((LANES, LANES), lambda p, c: (c[p], 0)),   # xT
+            pl.BlockSpec((LANES, LANES), lambda p, c: (c[p, 0], 0)),  # xT A
+            pl.BlockSpec((LANES, LANES), lambda p, c: (c[p, 1], 0)),  # xT B
             pl.BlockSpec((LANES, LANES), lambda p, c: (p, 0)),      # wordA
             pl.BlockSpec((LANES, LANES), lambda p, c: (p, 0)),      # wordB
             pl.BlockSpec((LANES, LANES), lambda p, c: (p, 0)),      # vals
@@ -576,7 +676,7 @@ def _panel_call(slab, lay: _SlabLayout, xT: jax.Array, sr: Semiring,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d_out, LANES), acc_dtype),
         interpret=_interpret(),
-    )(slab["chunk"], xT, slab["wordA"], slab["wordB"], slab["vals"])
+    )(slab["chunk"], xT, xT, slab["wordA"], slab["wordB"], slab["vals"])
 
 
 def dp_sell2(op: Sell2Operand, x: jax.Array, sr: Semiring, *,
@@ -596,13 +696,26 @@ def dp_sell2(op: Sell2Operand, x: jax.Array, sr: Semiring, *,
     xT = x_pad.reshape(op.n_chunks, LANES, LANES).transpose(0, 2, 1)
     xT = xT.reshape(op.n_chunks * LANES, LANES)
 
-    outs = []
+    # multiple layouts may share a row0 (split_calls buckets): their out
+    # tiles ⊕-combine into one slab result, slabs concatenate row-major
+    add = _carrier(sr)[1]
+    acc_by_row0: dict = {}
+    slab_order = []
     for slab, lay in zip(op.slabs, op.layouts):
+        if lay.row0 not in acc_by_row0:
+            slab_order.append((lay.row0, lay.rows))
+            acc_by_row0[lay.row0] = None
         if lay.panels == 0:
-            outs.append(jnp.full((lay.rows,), jnp.asarray(zero, acc_dtype)))
             continue
-        tile = _panel_call(slab, lay, xT, sr, as_int)
-        outs.append(tile.reshape(-1))
+        tile = _panel_call(slab, lay, xT, sr, as_int).reshape(-1)
+        prev = acc_by_row0[lay.row0]
+        acc_by_row0[lay.row0] = tile if prev is None else add(prev, tile)
+    outs = []
+    for r0, rows in slab_order:
+        acc = acc_by_row0[r0]
+        if acc is None:
+            acc = jnp.full((rows,), jnp.asarray(zero, acc_dtype))
+        outs.append(acc)
     dp = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
     if op.piece_owner is not None:
         # fold heavy-row overflow pieces back into their owner rows

@@ -87,8 +87,10 @@ class ShardedSellOperand:
 
 
 def _identity_words(two_tiles: bool):
+    # keep in sync with ops/pallas_sell2.py wordA/wordB defaults (the
+    # cap=0 / identity-route encoding: a1=a2=127, route_hi lane 126)
     id_tile = 1 if two_tiles else 0
-    wa = np.int32(127 | (127 << 7) | (126 << 20) | (id_tile << 27))
+    wa = np.int32(127 | (127 << 7) | (126 << 22) | (id_tile << 29))
     wb = np.int32((126 << 7) | (id_tile << 14))
     return wa, wb
 
@@ -120,7 +122,10 @@ def build_sharded_sell(
             (coo.rows[sel] - d * chunk).astype(np.int32),
             coo.cols[sel], coo.vals[sel], (chunk, c),
         )
-        ops.append(build_sell2(sub, sr, value_dtype=value_dtype))
+        # one call per slab index: the cross-shard layout union below
+        # matches slabs positionally, so no per-panel call bucketing here
+        ops.append(build_sell2(sub, sr, value_dtype=value_dtype,
+                               split_calls=False))
 
     # ---- union the static layouts across shards ------------------------
     S = max(len(op.layouts) for op in ops)
@@ -150,7 +155,7 @@ def build_sharded_sell(
             continue
         wa_id, wb_id = _identity_words(lay.two_tiles)
         P_s = lay.panels
-        chunk_ids = np.zeros((n_shards, P_s), np.int32)
+        chunk_ids = np.zeros((n_shards, P_s, 2), np.int32)
         wordA = np.full((n_shards, P_s * LANES, LANES), wa_id, np.int32)
         wordB = np.full((n_shards, P_s * LANES, LANES), wb_id, np.int32)
         vals = np.full((n_shards, P_s * LANES, LANES), zero_np, np_store)
