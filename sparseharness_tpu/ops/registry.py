@@ -294,8 +294,14 @@ register_variant(
         build=lambda coo, sr, g: dia.build_dia(coo, sr),
         dp=_dp_dia,
         description=(
-            "Diagonal layout: statically shifted slices of x, zero gathers; "
-            "for banded/stencil structure (degrades past 512 diagonals)"
+            "Diagonal layout (DEBUG/REFERENCE variant — auto routes banded "
+            "structure to bsr_band instead): statically shifted XLA slices "
+            "of x, zero gathers, ~11% of peak. A Pallas exact-DIA kernel "
+            "would halve bsr_band's streamed bytes but pays one VPU lane-"
+            "rotate per diagonal per 16K rows, which the measured crossbar "
+            "rate puts below bsr_band for every window that fits it "
+            "(scripts/probe_crossbar_ceiling.py, "
+            "results/crossbar_ceiling_tpu.json)"
         ),
     )
 )
