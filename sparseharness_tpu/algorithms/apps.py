@@ -44,6 +44,24 @@ def _build(coo: COO, sr: Semiring, variant: str, geometry: Geometry):
     return variant, build_operand(coo, sr, variant, geometry)
 
 
+def _jit_fixpoint(operand, step_of, x0, aux0=None, **kw):
+    """run_fixpoint jitted with the operand as a traced *argument*.
+
+    Closing the step over the operand would bake its arrays into the HLO
+    as literal constants — hundreds of MB for SuiteSparse-scale strips,
+    which bloats the executable and exceeds the remote-compile request
+    limit on tunneled TPU backends (the HTTP 413 that blocked the
+    BASELINE fixpoint configs). kw (convergence/max_iter/aux_update) are
+    static and safe to close over."""
+    if aux0 is not None:
+        fn = jax.jit(lambda op, a, b: run_fixpoint(
+            lambda x: step_of(op, x), a, aux0=b, **kw))
+        return fn(operand, x0, aux0)
+    fn = jax.jit(lambda op, a: run_fixpoint(
+        lambda x: step_of(op, x), a, **kw))
+    return fn(operand, x0)
+
+
 def _require_square(coo: COO) -> None:
     # the reference's COMMON_MAIN_PREAMBLE rejects non-square matrices for
     # every app (inc/common.h:49-56)
@@ -294,13 +312,12 @@ def sssp(
     # inputs (negative cycles) still compare bit-for-bit
     limit = max_iter if max_iter is not None else n
 
-    def step(x):
-        dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+    def step(op, x):
+        dp = spmv(op, x, None, sr=sr, variant=variant, n_rows=n)
         return sr.add(x, dp)  # closure: keep own distance
 
-    res = jax.jit(
-        lambda x0: run_fixpoint(step, x0, convergence=conv, max_iter=limit)
-    )(x0)
+    res = _jit_fixpoint(operand, step, x0, convergence=conv,
+                        max_iter=limit)
     return _unpermute_result(res, inv)
 
 
@@ -329,20 +346,17 @@ def bfs(
     levels0 = jnp.full((n,), -1, jnp.int32).at[root].set(0)
     limit = max_iter if max_iter is not None else n + 1
 
-    def step(x):
-        dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+    def step(op, x):
+        dp = spmv(op, x, None, sr=sr, variant=variant, n_rows=n)
         return jnp.logical_or(x, dp)
 
     def stamp(levels, x_old, x_new, it):
         newly = jnp.logical_and(x_new, jnp.logical_not(x_old))
         return jnp.where(newly, it + 1, levels)
 
-    res = jax.jit(
-        lambda x0, l0: run_fixpoint(
-            step, x0, convergence=exact_converged, max_iter=limit,
-            aux0=l0, aux_update=stamp,
-        )
-    )(x0, levels0)
+    res = _jit_fixpoint(operand, step, x0, aux0=levels0,
+                        convergence=exact_converged, max_iter=limit,
+                        aux_update=stamp)
     return _unpermute_result(res, inv)
 
 
@@ -370,15 +384,13 @@ def pagerank(
     x0 = jnp.full((n,), 1.0 / n, jnp.float32)
     teleport = jnp.float32((1.0 - damping) / n)
 
-    def step(x):
-        dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+    def step(op, x):
+        dp = spmv(op, x, None, sr=sr, variant=variant, n_rows=n)
         return dp + teleport
 
-    res = jax.jit(
-        lambda x0: run_fixpoint(
-            step, x0, convergence=delta_converged(delta), max_iter=max_iter
-        )
-    )(x0)
+    res = _jit_fixpoint(operand, step, x0,
+                        convergence=delta_converged(delta),
+                        max_iter=max_iter)
     return _unpermute_result(res, inv)
 
 
@@ -424,15 +436,12 @@ def _label_propagate(coo, variant, geometry, max_iter) -> FixpointResult:
     x0 = jnp.arange(n, dtype=jnp.int32)  # vertex-id iota (app/scc.cpp:179-195)
     limit = max_iter if max_iter is not None else n + 1
 
-    def step(x):
-        dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+    def step(op, x):
+        dp = spmv(op, x, None, sr=sr, variant=variant, n_rows=n)
         return jnp.maximum(x, dp)  # keep own label
 
-    return jax.jit(
-        lambda x0: run_fixpoint(
-            step, x0, convergence=exact_converged, max_iter=limit
-        )
-    )(x0)
+    return _jit_fixpoint(operand, step, x0, convergence=exact_converged,
+                         max_iter=limit)
 
 
 # ------------------------------------------------------------ eigenvector
@@ -458,16 +467,14 @@ def eigenvector(
     n = coo.shape[0]
     x0 = jnp.full((n,), 1.0 / np.sqrt(n), jnp.float32)
 
-    def step(x):
-        y = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+    def step(op, x):
+        y = spmv(op, x, None, sr=sr, variant=variant, n_rows=n)
         norm = jnp.linalg.norm(y)
         return jnp.where(norm > 0, y / norm, y)
 
-    res = jax.jit(
-        lambda x0: run_fixpoint(
-            step, x0, convergence=delta_converged(delta), max_iter=max_iter
-        )
-    )(x0)
+    res = _jit_fixpoint(operand, step, x0,
+                        convergence=delta_converged(delta),
+                        max_iter=max_iter)
     ax = spmv(operand, res.x, None, sr=sr, variant=variant, n_rows=n)
     eigval = jnp.vdot(res.x, ax)  # Rayleigh quotient is permutation-invariant
     return _unpermute_result(res, inv), eigval
@@ -502,15 +509,12 @@ def connected_components(
     x0 = jnp.arange(n, dtype=jnp.int32)
     limit = max_iter if max_iter is not None else n + 1
 
-    def step(x):
-        dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+    def step(op, x):
+        dp = spmv(op, x, None, sr=sr, variant=variant, n_rows=n)
         return jnp.minimum(x, dp)
 
-    res = jax.jit(
-        lambda x0: run_fixpoint(
-            step, x0, convergence=exact_converged, max_iter=limit
-        )
-    )(x0)
+    res = _jit_fixpoint(operand, step, x0, convergence=exact_converged,
+                        max_iter=limit)
     if inv is not None:
         res = res._replace(
             x=jnp.asarray(_relabel_components(np.asarray(res.x)[inv]))
@@ -538,15 +542,12 @@ def widest_path(
     x0 = jnp.full((n,), lo, jnp.float32).at[root].set(jnp.float32(FLT_MAX))
     limit = max_iter if max_iter is not None else n
 
-    def step(x):
-        dp = spmv(operand, x, None, sr=sr, variant=variant, n_rows=n)
+    def step(op, x):
+        dp = spmv(op, x, None, sr=sr, variant=variant, n_rows=n)
         return jnp.maximum(x, dp)
 
-    res = jax.jit(
-        lambda x0: run_fixpoint(
-            step, x0, convergence=exact_converged, max_iter=limit
-        )
-    )(x0)
+    res = _jit_fixpoint(operand, step, x0, convergence=exact_converged,
+                        max_iter=limit)
     return _unpermute_result(res, inv)
 
 
@@ -592,13 +593,12 @@ def multi_sssp(
     conv = exact_converged if delta <= 0.0 else delta_converged(delta)
     limit = max_iter if max_iter is not None else n
 
-    def step(x):
-        dp = spmm(operand, x, sr=sr, variant=variant, n_rows=n)
+    def step(op, x):
+        dp = spmm(op, x, sr=sr, variant=variant, n_rows=n)
         return sr.add(x, dp)  # closure: keep own distance
 
-    res = jax.jit(
-        lambda x0: run_fixpoint(step, x0, convergence=conv, max_iter=limit)
-    )(x0)
+    res = _jit_fixpoint(operand, step, x0, convergence=conv,
+                        max_iter=limit)
     return _unpermute_result(res, inv)
 
 
@@ -623,18 +623,15 @@ def multi_bfs(
     levels0 = jnp.full((n, m), -1, jnp.int32).at[r, cols_ix].set(0)
     limit = max_iter if max_iter is not None else n + 1
 
-    def step(x):
-        dp = spmm(operand, x, sr=sr, variant=variant, n_rows=n)
+    def step(op, x):
+        dp = spmm(op, x, sr=sr, variant=variant, n_rows=n)
         return jnp.logical_or(x, dp)
 
     def stamp(levels, x_old, x_new, it):
         newly = jnp.logical_and(x_new, jnp.logical_not(x_old))
         return jnp.where(newly, it + 1, levels)
 
-    res = jax.jit(
-        lambda x0, l0: run_fixpoint(
-            step, x0, convergence=exact_converged, max_iter=limit,
-            aux0=l0, aux_update=stamp,
-        )
-    )(x0, levels0)
+    res = _jit_fixpoint(operand, step, x0, aux0=levels0,
+                        convergence=exact_converged, max_iter=limit,
+                        aux_update=stamp)
     return _unpermute_result(res, inv)
