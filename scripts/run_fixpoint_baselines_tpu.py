@@ -65,10 +65,14 @@ def main() -> int:
     # over the capped run (each capped iteration is identical work)
     cap = 512 if on_tpu else 32
 
-    def rate(name, fn):
-        fn()                       # compile + warm
+    def rate(name, solver):
+        # solver = prebuilt factory (return_solver=True): the timed call
+        # reruns ONLY the jitted on-device fixpoint — operand build and
+        # upload happen once, like the reference's Harness ctor
+        solver()                   # compile + warm
         t0 = time.perf_counter()
-        res = fn()
+        res = solver()
+        np.asarray(np.asarray(res.x).ravel()[:1])
         dt = time.perf_counter() - t0
         iters = int(res.iterations)
         out["solves"][name] = {
@@ -80,13 +84,16 @@ def main() -> int:
             "converged": bool(res.converged),
         }
 
-    rate("bfs_or_and", lambda: bfs(g, 0, variant="auto", max_iter=cap))
-    rate("sssp_min_plus", lambda: sssp(g, 0, variant="auto", max_iter=cap))
-    rate("pagerank", lambda: pagerank(g, variant="auto", max_iter=cap))
+    rate("bfs_or_and",
+         bfs(g, 0, variant="auto", max_iter=cap, return_solver=True))
+    rate("sssp_min_plus",
+         sssp(g, 0, variant="auto", max_iter=cap, return_solver=True))
+    rate("pagerank",
+         pagerank(g, variant="auto", max_iter=cap, return_solver=True))
 
     mesh = make_mesh(1)
     rate("sharded_pagerank_1dev",
-         lambda: sharded_pagerank(g, mesh=mesh, max_iter=cap))
+         sharded_pagerank(g, mesh=mesh, max_iter=cap, return_solver=True))
 
     print(json.dumps(out, indent=1))
     if on_tpu:

@@ -44,22 +44,44 @@ def _build(coo: COO, sr: Semiring, variant: str, geometry: Geometry):
     return variant, build_operand(coo, sr, variant, geometry)
 
 
-def _jit_fixpoint(operand, step_of, x0, aux0=None, **kw):
-    """run_fixpoint jitted with the operand as a traced *argument*.
+def _fixpoint_solver(operand, step_of, x0, aux0=None, **kw):
+    """Zero-arg solver over a pre-built operand, jitted ONCE.
 
-    Closing the step over the operand would bake its arrays into the HLO
-    as literal constants — hundreds of MB for SuiteSparse-scale strips,
-    which bloats the executable and exceeds the remote-compile request
-    limit on tunneled TPU backends (the HTTP 413 that blocked the
-    BASELINE fixpoint configs). kw (convergence/max_iter/aux_update) are
-    static and safe to close over."""
+    Two properties the benchmark harness depends on:
+
+    - the operand rides as a traced jit *argument*: closing the step over
+      it would bake its arrays into the HLO as literal constants —
+      hundreds of MB for SuiteSparse-scale strips, which bloats the
+      executable and exceeds the remote-compile request limit on tunneled
+      TPU backends (the HTTP 413 that blocked the round-2 BASELINE
+      fixpoint configs);
+    - repeated calls reuse one jit wrapper (and the already-device-placed
+      operand), so per-trial timing measures the on-device solve, not a
+      rebuild + re-upload — the reference uploads buffers once in the
+      Harness ctor (inc/harness.h:197) and times kernel executions.
+
+    kw (convergence/max_iter/aux_update) are static and safe to close
+    over."""
     if aux0 is not None:
         fn = jax.jit(lambda op, a, b: run_fixpoint(
             lambda x: step_of(op, x), a, aux0=b, **kw))
-        return fn(operand, x0, aux0)
+        return lambda: fn(operand, x0, aux0)
     fn = jax.jit(lambda op, a: run_fixpoint(
         lambda x: step_of(op, x), a, **kw))
-    return fn(operand, x0)
+    return lambda: fn(operand, x0)
+
+
+def _jit_fixpoint(operand, step_of, x0, aux0=None, **kw):
+    return _fixpoint_solver(operand, step_of, x0, aux0=aux0, **kw)()
+
+
+def _solver_or_result(solve, post, return_solver: bool):
+    """`post(solve())`, or the equivalent zero-arg callable when the
+    caller wants a reusable solver (build/jit excluded from trials)."""
+    def run():
+        return post(solve())
+
+    return run if return_solver else run()
 
 
 def _require_square(coo: COO) -> None:
@@ -292,6 +314,7 @@ def sssp(
     delta: float = 0.0,
     max_iter: Optional[int] = None,
     reorder: Optional[str] = None,
+    return_solver: bool = False,
 ) -> FixpointResult:
     """Single-source shortest paths via min-plus fixpoint
     (app/sssp.cpp: x0 = ∞ except root = 0, README.md:29-40).
@@ -316,9 +339,10 @@ def sssp(
         dp = spmv(op, x, None, sr=sr, variant=variant, n_rows=n)
         return sr.add(x, dp)  # closure: keep own distance
 
-    res = _jit_fixpoint(operand, step, x0, convergence=conv,
-                        max_iter=limit)
-    return _unpermute_result(res, inv)
+    solve = _fixpoint_solver(operand, step, x0, convergence=conv,
+                             max_iter=limit)
+    return _solver_or_result(
+        solve, lambda r: _unpermute_result(r, inv), return_solver)
 
 
 # ------------------------------------------------------------------- bfs
@@ -331,6 +355,7 @@ def bfs(
     geometry: Geometry = Geometry(),
     max_iter: Optional[int] = None,
     reorder: Optional[str] = None,
+    return_solver: bool = False,
 ) -> FixpointResult:
     """BFS via or/and fixpoint (app/bfs.cpp: x0 = false except root).
 
@@ -354,10 +379,11 @@ def bfs(
         newly = jnp.logical_and(x_new, jnp.logical_not(x_old))
         return jnp.where(newly, it + 1, levels)
 
-    res = _jit_fixpoint(operand, step, x0, aux0=levels0,
-                        convergence=exact_converged, max_iter=limit,
-                        aux_update=stamp)
-    return _unpermute_result(res, inv)
+    solve = _fixpoint_solver(operand, step, x0, aux0=levels0,
+                             convergence=exact_converged, max_iter=limit,
+                             aux_update=stamp)
+    return _solver_or_result(
+        solve, lambda r: _unpermute_result(r, inv), return_solver)
 
 
 # --------------------------------------------------------------- pagerank
@@ -371,6 +397,7 @@ def pagerank(
     delta: float = 1e-6,
     max_iter: int = 1000,
     reorder: Optional[str] = None,
+    return_solver: bool = False,
 ) -> FixpointResult:
     """PageRank power iteration (app/pr.cpp: damping 0.85, x0 = 1/N,
     teleport β = (1−d)/N; matrix column-normalized+damped in preprocessing
@@ -388,10 +415,11 @@ def pagerank(
         dp = spmv(op, x, None, sr=sr, variant=variant, n_rows=n)
         return dp + teleport
 
-    res = _jit_fixpoint(operand, step, x0,
-                        convergence=delta_converged(delta),
-                        max_iter=max_iter)
-    return _unpermute_result(res, inv)
+    solve = _fixpoint_solver(operand, step, x0,
+                             convergence=delta_converged(delta),
+                             max_iter=max_iter)
+    return _solver_or_result(
+        solve, lambda r: _unpermute_result(r, inv), return_solver)
 
 
 # -------------------------------------------------------------------- scc
@@ -428,7 +456,8 @@ def scc(
     return _relabel_components(pair), fwd, bwd
 
 
-def _label_propagate(coo, variant, geometry, max_iter) -> FixpointResult:
+def _label_propagate(coo, variant, geometry, max_iter,
+                     return_solver: bool = False) -> FixpointResult:
     sr = MAX_RIGHT
     labelled = scc_normalise(coo)
     variant, operand = _build(labelled, sr, variant, geometry)
@@ -440,8 +469,9 @@ def _label_propagate(coo, variant, geometry, max_iter) -> FixpointResult:
         dp = spmv(op, x, None, sr=sr, variant=variant, n_rows=n)
         return jnp.maximum(x, dp)  # keep own label
 
-    return _jit_fixpoint(operand, step, x0, convergence=exact_converged,
-                         max_iter=limit)
+    solve = _fixpoint_solver(operand, step, x0,
+                             convergence=exact_converged, max_iter=limit)
+    return _solver_or_result(solve, lambda r: r, return_solver)
 
 
 # ------------------------------------------------------------ eigenvector
@@ -454,6 +484,7 @@ def eigenvector(
     delta: float = 1e-6,
     max_iter: int = 1000,
     reorder: Optional[str] = None,
+    return_solver: bool = False,
 ) -> Tuple[FixpointResult, jax.Array]:
     """Dominant eigenvector by power iteration with L2 normalization.
 
@@ -472,12 +503,17 @@ def eigenvector(
         norm = jnp.linalg.norm(y)
         return jnp.where(norm > 0, y / norm, y)
 
-    res = _jit_fixpoint(operand, step, x0,
-                        convergence=delta_converged(delta),
-                        max_iter=max_iter)
-    ax = spmv(operand, res.x, None, sr=sr, variant=variant, n_rows=n)
-    eigval = jnp.vdot(res.x, ax)  # Rayleigh quotient is permutation-invariant
-    return _unpermute_result(res, inv), eigval
+    solve = _fixpoint_solver(operand, step, x0,
+                             convergence=delta_converged(delta),
+                             max_iter=max_iter)
+
+    def post(res):
+        ax = spmv(operand, res.x, None, sr=sr, variant=variant, n_rows=n)
+        # Rayleigh quotient is permutation-invariant
+        eigval = jnp.vdot(res.x, ax)
+        return _unpermute_result(res, inv), eigval
+
+    return _solver_or_result(solve, post, return_solver)
 
 
 # ------------------------------------------------- additional algorithms
@@ -491,6 +527,7 @@ def connected_components(
     geometry: Geometry = Geometry(),
     max_iter: Optional[int] = None,
     reorder: Optional[str] = None,
+    return_solver: bool = False,
 ) -> FixpointResult:
     """Undirected connected components via min-label propagation over the
     symmetrized pattern ((min, select) semiring): label[i] = min vertex id
@@ -513,13 +550,17 @@ def connected_components(
         dp = spmv(op, x, None, sr=sr, variant=variant, n_rows=n)
         return jnp.minimum(x, dp)
 
-    res = _jit_fixpoint(operand, step, x0, convergence=exact_converged,
-                        max_iter=limit)
-    if inv is not None:
-        res = res._replace(
-            x=jnp.asarray(_relabel_components(np.asarray(res.x)[inv]))
-        )
-    return res
+    solve = _fixpoint_solver(operand, step, x0,
+                             convergence=exact_converged, max_iter=limit)
+
+    def post(res):
+        if inv is not None:
+            res = res._replace(
+                x=jnp.asarray(_relabel_components(np.asarray(res.x)[inv]))
+            )
+        return res
+
+    return _solver_or_result(solve, post, return_solver)
 
 
 def widest_path(
@@ -529,6 +570,7 @@ def widest_path(
     geometry: Geometry = Geometry(),
     max_iter: Optional[int] = None,
     reorder: Optional[str] = None,
+    return_solver: bool = False,
 ) -> FixpointResult:
     """Bottleneck (widest) path widths from root via the (max, min)
     semiring: width[i] = max over paths of the minimum edge weight."""
@@ -546,9 +588,10 @@ def widest_path(
         dp = spmv(op, x, None, sr=sr, variant=variant, n_rows=n)
         return jnp.maximum(x, dp)
 
-    res = _jit_fixpoint(operand, step, x0, convergence=exact_converged,
-                        max_iter=limit)
-    return _unpermute_result(res, inv)
+    solve = _fixpoint_solver(operand, step, x0,
+                             convergence=exact_converged, max_iter=limit)
+    return _solver_or_result(
+        solve, lambda r: _unpermute_result(r, inv), return_solver)
 
 
 # --------------------------------------------- multi-source (SpMM-batched)
@@ -577,6 +620,7 @@ def multi_sssp(
     delta: float = 0.0,
     max_iter: Optional[int] = None,
     reorder: Optional[str] = None,
+    return_solver: bool = False,
 ) -> FixpointResult:
     """Batched SSSP: result.x[:, j] == sssp(coo, roots[j]).x.
 
@@ -597,9 +641,10 @@ def multi_sssp(
         dp = spmm(op, x, sr=sr, variant=variant, n_rows=n)
         return sr.add(x, dp)  # closure: keep own distance
 
-    res = _jit_fixpoint(operand, step, x0, convergence=conv,
-                        max_iter=limit)
-    return _unpermute_result(res, inv)
+    solve = _fixpoint_solver(operand, step, x0, convergence=conv,
+                             max_iter=limit)
+    return _solver_or_result(
+        solve, lambda r: _unpermute_result(r, inv), return_solver)
 
 
 def multi_bfs(
@@ -609,6 +654,7 @@ def multi_bfs(
     geometry: Geometry = Geometry(),
     max_iter: Optional[int] = None,
     reorder: Optional[str] = None,
+    return_solver: bool = False,
 ) -> FixpointResult:
     """Batched BFS: .x[:, j] reachability and .aux[:, j] int32 levels from
     roots[j] (-1 unreachable) — one or/and SpMM fixpoint for all roots."""
@@ -631,7 +677,8 @@ def multi_bfs(
         newly = jnp.logical_and(x_new, jnp.logical_not(x_old))
         return jnp.where(newly, it + 1, levels)
 
-    res = _jit_fixpoint(operand, step, x0, aux0=levels0,
-                        convergence=exact_converged, max_iter=limit,
-                        aux_update=stamp)
-    return _unpermute_result(res, inv)
+    solve = _fixpoint_solver(operand, step, x0, aux0=levels0,
+                             convergence=exact_converged, max_iter=limit,
+                             aux_update=stamp)
+    return _solver_or_result(
+        solve, lambda r: _unpermute_result(r, inv), return_solver)

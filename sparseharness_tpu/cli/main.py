@@ -229,8 +229,10 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
         mesh = make_mesh(args.mesh)
         held = {}
 
+        solver = frontier_solve(coo, args, mesh)
+
         def _solve_frontier():
-            held["res"] = frontier_solve(coo, args, mesh)
+            held["res"] = solver()
             return held["res"]
 
         res = benchmark_fixpoint(
@@ -264,7 +266,7 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
 
         mesh = make_mesh(args.mesh)
         res = benchmark_fixpoint(
-            lambda: sharded_solve(coo, args, mesh),
+            sharded_solve(coo, args, mesh),
             gold=gold, config=config, matrix_name=args.matrix_name or args.matrix,
             kernel_name=(f"{kernel_name}:sharded{args.mesh}:"
                          f"{getattr(args, 'sharded_mode', 'auto')}"),
@@ -284,7 +286,7 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
         )
     else:
         res = benchmark_fixpoint(
-            lambda: solve(coo, args),
+            solve(coo, args),
             gold=gold, config=config, matrix_name=args.matrix_name or args.matrix,
             kernel_name=f"{kernel_name}:{args.kernel}", nnz=coo.nnz,
             exact=exact,
@@ -301,11 +303,14 @@ def sssp_main(argv: Optional[list] = None) -> int:
     from sparseharness_tpu.parallel import sharded_sssp
 
     def _solve(coo, a):
+        # factories: build + jit once, so per-trial timing measures the
+        # on-device solve (the reference uploads buffers once in the ctor)
         if a.roots:
             return multi_sssp(coo, _roots_list(a), variant=a.kernel,
-                              max_iter=a.max_iter, reorder=a.reorder)
+                              max_iter=a.max_iter, reorder=a.reorder,
+                              return_solver=True)
         return sssp(coo, a.root, variant=a.kernel, max_iter=a.max_iter,
-                    reorder=a.reorder)
+                    reorder=a.reorder, return_solver=True)
 
     def _gold(coo, a):
         if a.roots:
@@ -319,15 +324,16 @@ def sssp_main(argv: Optional[list] = None) -> int:
 
             return sharded_multi_sssp(coo, _roots_list(a), mesh=m,
                                       max_iter=a.max_iter, reorder=a.reorder,
-                                      mode=a.sharded_mode)
+                                      mode=a.sharded_mode, return_solver=True)
         return sharded_sssp(coo, a.root, mesh=m, max_iter=a.max_iter,
-                            reorder=a.reorder, mode=a.sharded_mode)
+                            reorder=a.reorder, mode=a.sharded_mode,
+                            return_solver=True)
 
     def _frontier(coo, a, m):
         from sparseharness_tpu.parallel import frontier_sssp
 
         return frontier_sssp(coo, a.root, mesh=m, budget=a.budget,
-                             max_iter=a.max_iter)
+                             max_iter=a.max_iter, return_solver=True)
 
     return _fixpoint_main(
         "SSSP min-plus fixpoint (app/sssp.cpp); --roots batches sources "
@@ -350,9 +356,10 @@ def bfs_main(argv: Optional[list] = None) -> int:
     def _solve(coo, a):
         if a.roots:
             return multi_bfs(coo, _roots_list(a), variant=a.kernel,
-                             max_iter=a.max_iter, reorder=a.reorder)
+                             max_iter=a.max_iter, reorder=a.reorder,
+                             return_solver=True)
         return bfs(coo, a.root, variant=a.kernel, max_iter=a.max_iter,
-                   reorder=a.reorder)
+                   reorder=a.reorder, return_solver=True)
 
     def _gold(coo, a):
         if a.roots:
@@ -366,15 +373,16 @@ def bfs_main(argv: Optional[list] = None) -> int:
 
             return sharded_multi_bfs(coo, _roots_list(a), mesh=m,
                                      max_iter=a.max_iter, reorder=a.reorder,
-                                     mode=a.sharded_mode)
+                                     mode=a.sharded_mode, return_solver=True)
         return sharded_bfs(coo, a.root, mesh=m, max_iter=a.max_iter,
-                           reorder=a.reorder, mode=a.sharded_mode)
+                           reorder=a.reorder, mode=a.sharded_mode,
+                           return_solver=True)
 
     def _frontier(coo, a, m):
         from sparseharness_tpu.parallel import frontier_bfs
 
         return frontier_bfs(coo, a.root, mesh=m, budget=a.budget,
-                            max_iter=a.max_iter)
+                            max_iter=a.max_iter, return_solver=True)
 
     return _fixpoint_main(
         "BFS or/and fixpoint (app/bfs.cpp); --roots batches sources "
@@ -398,12 +406,12 @@ def pr_main(argv: Optional[list] = None) -> int:
         "PageRank power iteration (app/pr.cpp)",
         lambda coo, a: pagerank(coo, variant=a.kernel,
                                 max_iter=a.max_iter or 1000,
-                                reorder=a.reorder),
+                                reorder=a.reorder, return_solver=True),
         lambda coo, a: pagerank_gold(coo),
         needs_root=False, argv=argv, kernel_name="pagerank", algo="pagerank",
         sharded_solve=lambda coo, a, m: sharded_pagerank(
             coo, mesh=m, max_iter=a.max_iter or 1000, reorder=a.reorder,
-            mode=a.sharded_mode),
+            mode=a.sharded_mode, return_solver=True),
     )
 
 
@@ -441,16 +449,19 @@ def scc_main(argv: Optional[list] = None) -> int:
 
     def _solve(coo, a):
         if a.full:
-            return _full_result(*scc(coo, variant=a.kernel,
-                                     max_iter=a.max_iter))
-        return _label_propagate(coo, a.kernel, Geometry(), a.max_iter)
+            # full SCC = two fixpoints + host intersection; the factory
+            # includes the rebuild (no single jitted solve to reuse)
+            return lambda: _full_result(*scc(coo, variant=a.kernel,
+                                             max_iter=a.max_iter))
+        return _label_propagate(coo, a.kernel, Geometry(), a.max_iter,
+                                return_solver=True)
 
     def _sharded(coo, a, m):
         if a.full:
-            return _full_result(*sharded_scc(coo, mesh=m, max_iter=a.max_iter,
-                                             mode=a.sharded_mode))
+            return lambda: _full_result(*sharded_scc(
+                coo, mesh=m, max_iter=a.max_iter, mode=a.sharded_mode))
         return sharded_scc_forward(coo, mesh=m, max_iter=a.max_iter,
-                                   mode=a.sharded_mode)
+                                   mode=a.sharded_mode, return_solver=True)
 
     def _gold(coo, a):
         if a.full:
@@ -480,15 +491,15 @@ def eigenvector_main(argv: Optional[list] = None) -> int:
     return _fixpoint_main(
         "Dominant eigenvector power iteration (app/eigenvector.cpp, "
         "implemented for real)",
-        lambda coo, a: eigenvector(coo, variant=a.kernel,
-                                   max_iter=a.max_iter or 1000,
-                                   reorder=a.reorder)[0],
+        lambda coo, a: (lambda s: (lambda: s()[0]))(eigenvector(
+            coo, variant=a.kernel, max_iter=a.max_iter or 1000,
+            reorder=a.reorder, return_solver=True)),
         lambda coo, a: None,
         needs_root=False, argv=argv, kernel_name="eigenvector",
         algo="eigenvector",
         sharded_solve=lambda coo, a, m: sharded_eigenvector(
             coo, mesh=m, max_iter=a.max_iter or 1000, reorder=a.reorder,
-            mode=a.sharded_mode),
+            mode=a.sharded_mode, return_solver=True),
     )
 
 
@@ -500,7 +511,8 @@ def cc_main(argv: Optional[list] = None) -> int:
         "Connected components via min-label propagation (new capability)",
         lambda coo, a: connected_components(coo, variant=a.kernel,
                                             max_iter=a.max_iter,
-                                            reorder=a.reorder),
+                                            reorder=a.reorder,
+                                            return_solver=True),
         lambda coo, a: connected_components_gold(coo),
         needs_root=False, argv=argv, exact=True, kernel_name="cc",
     )
@@ -514,7 +526,7 @@ def widest_path_main(argv: Optional[list] = None) -> int:
         "Widest (bottleneck) path via the max-min semiring (new capability)",
         lambda coo, a: widest_path(coo, a.root, variant=a.kernel,
                                    max_iter=a.max_iter,
-                                   reorder=a.reorder),
+                                   reorder=a.reorder, return_solver=True),
         lambda coo, a: widest_path_gold(coo, a.root),
         needs_root=True, argv=argv, exact=True, kernel_name="widest_path",
     )

@@ -341,7 +341,8 @@ def sharded_fixpoint_frontier(
 
 def frontier_sssp(coo: COO, root: int, mesh: Optional[Mesh] = None,
                   budget: int = 1024, max_iter: Optional[int] = None,
-                  local: str = "auto") -> FrontierResult:
+                  local: str = "auto",
+                  return_solver: bool = False) -> FrontierResult:
     mesh = mesh or make_mesh()
     sr = MIN_PLUS
     D = mesh.devices.size
@@ -350,17 +351,22 @@ def frontier_sssp(coo: COO, root: int, mesh: Optional[Mesh] = None,
     n = coo.shape[0]
     x0 = np.full(n, FLT_MAX, np.float32)
     x0[root] = 0.0
-    return sharded_fixpoint_frontier(
-        mesh, arrays, dp_full, needed, x0, sr, chunk=chunk, n_rows=n,
-        combine=combine_min, budget=budget,
-        max_iter=max_iter if max_iter is not None else n,
-        key=key, local=kind,
-    )
+
+    def run():
+        return sharded_fixpoint_frontier(
+            mesh, arrays, dp_full, needed, x0, sr, chunk=chunk, n_rows=n,
+            combine=combine_min, budget=budget,
+            max_iter=max_iter if max_iter is not None else n,
+            key=key, local=kind,
+        )
+
+    return run if return_solver else run()
 
 
 def frontier_bfs(coo: COO, root: int, mesh: Optional[Mesh] = None,
                  budget: int = 1024, max_iter: Optional[int] = None,
-                 local: str = "auto") -> FrontierResult:
+                 local: str = "auto",
+                 return_solver: bool = False) -> FrontierResult:
     from sparseharness_tpu.parallel.sharded import bfs_level_stamp
 
     mesh = mesh or make_mesh()
@@ -373,9 +379,13 @@ def frontier_bfs(coo: COO, root: int, mesh: Optional[Mesh] = None,
     x0[root] = True
     levels0 = np.full(n, -1, np.int32)
     levels0[root] = 0
-    return sharded_fixpoint_frontier(
-        mesh, arrays, dp_full, needed, x0, sr, chunk=chunk, n_rows=n,
-        combine=combine_or, budget=budget, max_iter=max_iter or n + 1,
-        aux0=levels0, aux_update=bfs_level_stamp,
-        key=key, local=kind,
-    )
+
+    def run():
+        return sharded_fixpoint_frontier(
+            mesh, arrays, dp_full, needed, x0, sr, chunk=chunk, n_rows=n,
+            combine=combine_or, budget=budget, max_iter=max_iter or n + 1,
+            aux0=levels0, aux_update=bfs_level_stamp,
+            key=key, local=kind,
+        )
+
+    return run if return_solver else run()

@@ -652,7 +652,8 @@ def _sharded_unpermute(res: ShardedFixpointResult, inv):
 
 def sharded_sssp(coo: COO, root: int, mesh: Optional[Mesh] = None,
                  max_iter: Optional[int] = None, mode: str = "auto",
-                 reorder: Optional[str] = None) -> ShardedFixpointResult:
+                 reorder: Optional[str] = None,
+                 return_solver: bool = False) -> ShardedFixpointResult:
     mesh = mesh or make_mesh()
     coo, inv, root = _sharded_reorder_pre(coo, reorder, root)
     sr = MIN_PLUS
@@ -663,17 +664,21 @@ def sharded_sssp(coo: COO, root: int, mesh: Optional[Mesh] = None,
     # default cap = n sweeps, matching apps.sssp and gold.sssp_gold so
     # non-converging inputs (negative cycles, e.g. matrix.mtx/matrix5.mtx)
     # still compare bit-for-bit with the single-device result
-    res = solver(
-        mesh, op, x0, sr, n_rows=n,
-        combine=combine_min,
-        exact=True, max_iter=max_iter if max_iter is not None else n,
-    )
-    return _sharded_unpermute(res, inv)
+    def run():
+        res = solver(
+            mesh, op, x0, sr, n_rows=n,
+            combine=combine_min,
+            exact=True, max_iter=max_iter if max_iter is not None else n,
+        )
+        return _sharded_unpermute(res, inv)
+
+    return run if return_solver else run()
 
 
 def sharded_bfs(coo: COO, root: int, mesh: Optional[Mesh] = None,
                 max_iter: Optional[int] = None, mode: str = "auto",
-                reorder: Optional[str] = None) -> ShardedFixpointResult:
+                reorder: Optional[str] = None,
+                return_solver: bool = False) -> ShardedFixpointResult:
     """Sharded BFS: .x reachability and .aux int32 levels (-1 unreachable,
     0 root) — structurally identical to the single-device bfs output."""
     mesh = mesh or make_mesh()
@@ -685,19 +690,23 @@ def sharded_bfs(coo: COO, root: int, mesh: Optional[Mesh] = None,
     x0[root] = True
     levels0 = np.full(n, -1, np.int32)
     levels0[root] = 0
-    res = solver(
-        mesh, op, x0, sr, n_rows=n,
-        combine=combine_or,
-        exact=True, max_iter=max_iter or n + 1,
-        aux0=levels0, aux_update=bfs_level_stamp,
-    )
-    return _sharded_unpermute(res, inv)
+    def run():
+        res = solver(
+            mesh, op, x0, sr, n_rows=n,
+            combine=combine_or,
+            exact=True, max_iter=max_iter or n + 1,
+            aux0=levels0, aux_update=bfs_level_stamp,
+        )
+        return _sharded_unpermute(res, inv)
+
+    return run if return_solver else run()
 
 
 def sharded_pagerank(coo: COO, damping: float = 0.85,
                      mesh: Optional[Mesh] = None, delta: float = 1e-6,
                      max_iter: int = 1000, mode: str = "auto",
-                     reorder: Optional[str] = None) -> ShardedFixpointResult:
+                     reorder: Optional[str] = None,
+                     return_solver: bool = False) -> ShardedFixpointResult:
     mesh = mesh or make_mesh()
     coo, inv, _ = _sharded_reorder_pre(coo, reorder)
     sr = PLUS_TIMES
@@ -705,17 +714,21 @@ def sharded_pagerank(coo: COO, damping: float = 0.85,
     op, solver = _build_sharded_auto(damped, sr, mesh.devices.size, mode)
     n = coo.shape[0]
     x0 = np.full(n, 1.0 / n, np.float32)
-    res = solver(
-        mesh, op, x0, sr, n_rows=n,
-        combine=CombineAddConst(float((1.0 - damping) / n)),
-        exact=False, delta=delta, max_iter=max_iter,
-    )
-    return _sharded_unpermute(res, inv)
+    def run():
+        res = solver(
+            mesh, op, x0, sr, n_rows=n,
+            combine=CombineAddConst(float((1.0 - damping) / n)),
+            exact=False, delta=delta, max_iter=max_iter,
+        )
+        return _sharded_unpermute(res, inv)
+
+    return run if return_solver else run()
 
 
 def sharded_scc_forward(coo: COO, mesh: Optional[Mesh] = None,
                         max_iter: Optional[int] = None,
-                        mode: str = "auto") -> ShardedFixpointResult:
+                        mode: str = "auto",
+                        return_solver: bool = False) -> ShardedFixpointResult:
     """Forward max-label propagation across the mesh (the reference's scc
     pass); full SCC intersects with the transpose pass (sharded_scc)."""
     from sparseharness_tpu.formats.preprocess import scc_normalise
@@ -728,11 +741,14 @@ def sharded_scc_forward(coo: COO, mesh: Optional[Mesh] = None,
     )
     n = coo.shape[0]
     x0 = np.arange(n, dtype=np.int32)
-    return solver(
-        mesh, op, x0, sr, n_rows=n,
-        combine=combine_max,
-        exact=True, max_iter=max_iter or n + 1,
-    )
+    def run():
+        return solver(
+            mesh, op, x0, sr, n_rows=n,
+            combine=combine_max,
+            exact=True, max_iter=max_iter or n + 1,
+        )
+
+    return run if return_solver else run()
 
 
 def sharded_scc(coo: COO, mesh: Optional[Mesh] = None,
@@ -756,19 +772,23 @@ def sharded_scc(coo: COO, mesh: Optional[Mesh] = None,
 def sharded_eigenvector(coo: COO, mesh: Optional[Mesh] = None,
                         delta: float = 1e-6,
                         max_iter: int = 1000, mode: str = "auto",
-                        reorder: Optional[str] = None) -> ShardedFixpointResult:
+                        reorder: Optional[str] = None,
+                        return_solver: bool = False) -> ShardedFixpointResult:
     mesh = mesh or make_mesh()
     coo, inv, _ = _sharded_reorder_pre(coo, reorder)
     sr = PLUS_TIMES
     op, solver = _build_sharded_auto(coo, sr, mesh.devices.size, mode)
     n = coo.shape[0]
     x0 = np.full(n, 1.0 / np.sqrt(n), np.float32)
-    res = solver(
-        mesh, op, x0, sr, n_rows=n,
-        combine=combine_keep_dp,
-        exact=False, delta=delta, max_iter=max_iter, norm=True,
-    )
-    return _sharded_unpermute(res, inv)
+    def run():
+        res = solver(
+            mesh, op, x0, sr, n_rows=n,
+            combine=combine_keep_dp,
+            exact=False, delta=delta, max_iter=max_iter, norm=True,
+        )
+        return _sharded_unpermute(res, inv)
+
+    return run if return_solver else run()
 
 
 # ------------------------------------------------- batched multi-source
@@ -798,7 +818,8 @@ def _build_sharded_spmm(coo: COO, sr: Semiring, n_shards: int, mode: str):
 
 def sharded_multi_sssp(coo: COO, roots, mesh: Optional[Mesh] = None,
                        max_iter: Optional[int] = None, mode: str = "auto",
-                       reorder: Optional[str] = None) -> ShardedFixpointResult:
+                       reorder: Optional[str] = None,
+                       return_solver: bool = False) -> ShardedFixpointResult:
     """Batched SSSP across the mesh: .x[:, j] == sharded_sssp(coo, roots[j]).x.
 
     One min-plus SpMM fixpoint over a row-sharded (n, m) distance block —
@@ -814,17 +835,21 @@ def sharded_multi_sssp(coo: COO, roots, mesh: Optional[Mesh] = None,
     n, m = coo.shape[0], len(r)
     x0 = np.full((n, m), FLT_MAX, np.float32)
     x0[r, np.arange(m)] = 0.0
-    res = solver(
-        mesh, op, x0, sr, n_rows=n,
-        combine=combine_min,
-        exact=True, max_iter=max_iter if max_iter is not None else n,
-    )
-    return _sharded_unpermute(res, inv)
+    def run():
+        res = solver(
+            mesh, op, x0, sr, n_rows=n,
+            combine=combine_min,
+            exact=True, max_iter=max_iter if max_iter is not None else n,
+        )
+        return _sharded_unpermute(res, inv)
+
+    return run if return_solver else run()
 
 
 def sharded_multi_bfs(coo: COO, roots, mesh: Optional[Mesh] = None,
                       max_iter: Optional[int] = None, mode: str = "auto",
-                      reorder: Optional[str] = None) -> ShardedFixpointResult:
+                      reorder: Optional[str] = None,
+                      return_solver: bool = False) -> ShardedFixpointResult:
     """Batched BFS across the mesh: .x[:, j] reachability and .aux[:, j]
     int32 levels from roots[j] — the sharded counterpart of
     algorithms.apps.multi_bfs."""
@@ -840,10 +865,13 @@ def sharded_multi_bfs(coo: COO, roots, mesh: Optional[Mesh] = None,
     x0[r, np.arange(m)] = True
     levels0 = np.full((n, m), -1, np.int32)
     levels0[r, np.arange(m)] = 0
-    res = solver(
-        mesh, op, x0, sr, n_rows=n,
-        combine=combine_or,
-        exact=True, max_iter=max_iter or n + 1,
-        aux0=levels0, aux_update=bfs_level_stamp,
-    )
-    return _sharded_unpermute(res, inv)
+    def run():
+        res = solver(
+            mesh, op, x0, sr, n_rows=n,
+            combine=combine_or,
+            exact=True, max_iter=max_iter or n + 1,
+            aux0=levels0, aux_update=bfs_level_stamp,
+        )
+        return _sharded_unpermute(res, inv)
+
+    return run if return_solver else run()
