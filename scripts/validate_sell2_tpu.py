@@ -93,42 +93,50 @@ def main():
         with open("results/sell2_tpu.json", "w") as f:
             json.dump(report, f, indent=1)
 
-    # ---- the ≥10×-ell criterion needs a matrix ell can even build: cap
-    # row lengths at 512 (ell width) while keeping the zipf tail ----------
-    capped = power_law_coo(262_144, 2_400_000, alpha=1.5, seed=15)
-    lens = np.bincount(capped.rows, minlength=capped.shape[0])
-    order = np.argsort(capped.rows, kind="stable")
-    rank = np.arange(capped.nnz) - np.r_[
-        0, np.cumsum(lens)][capped.rows[order]]
-    keep = np.zeros(capped.nnz, bool)
-    keep[order] = rank < 512
+    # ---- the ≥10×-ell criterion needs a matrix ell can even build. Two
+    # caps: 512 shows sell2 on a near-full zipf tail; the ell/coo_seg
+    # comparison itself runs at cap 128 / n=131072 (a cap-512 ell operand
+    # is a 1 GB scalar-gather program that crashes the TPU worker) -------
     from sparseharness_tpu.formats.sparse import COO
-    capped = COO(capped.rows[keep], capped.cols[keep], capped.vals[keep],
-                 capped.shape)
+
+    def cap_rows(coo, cap):
+        lens = np.bincount(coo.rows, minlength=coo.shape[0])
+        order = np.argsort(coo.rows, kind="stable")
+        rank = np.arange(coo.nnz) - np.r_[0, np.cumsum(lens)][coo.rows[order]]
+        keep = np.zeros(coo.nnz, bool)
+        keep[order] = rank < cap
+        return COO(coo.rows[keep], coo.cols[keep], coo.vals[keep], coo.shape)
+
+    capped = cap_rows(power_law_coo(262_144, 2_400_000, alpha=1.5, seed=15),
+                      512)
     print(f"capped zipf: n={capped.shape[0]} nnz={capped.nnz}", flush=True)
     report["capped"] = {"n": capped.shape[0], "nnz": int(capped.nnz)}
+    prob = make_spmv_problem(capped, variant="sell2", seed=16)
+    res = benchmark_spmv(prob, gold=None, config=cfg,
+                         matrix_name="zipf262k_cap512", nnz=capped.nnz)
+    report["throughput"]["capped/sell2"] = {
+        "gnnz_per_s": res.gnnz_per_s, "roofline_frac": res.roofline_frac,
+    }
+    print(f"capped/sell2: {res.gnnz_per_s:.3f} Gnnz/s", flush=True)
+    with open("results/sell2_tpu.json", "w") as f:
+        json.dump(report, f, indent=1)
+
+    c128 = cap_rows(power_law_coo(131_072, 1_200_000, alpha=1.5, seed=17),
+                    128)
+    print(f"cap128 zipf: n={c128.shape[0]} nnz={c128.nnz}", flush=True)
+    report["cap128"] = {"n": c128.shape[0], "nnz": int(c128.nnz)}
     for variant in ("sell2", "ell", "coo_seg"):
-        label = f"capped/{variant}"
-        try:
-            prob = make_spmv_problem(capped, variant=variant, seed=16)
-            res = benchmark_spmv(prob, gold=None, config=cfg,
-                                 matrix_name="zipf262k_cap512",
-                                 nnz=capped.nnz)
-            report["throughput"][label] = {
-                "gnnz_per_s": res.gnnz_per_s,
-                "roofline_frac": res.roofline_frac,
-            }
-            print(f"{label}: {res.gnnz_per_s:.3f} Gnnz/s", flush=True)
-        except (NotImplementedError, MemoryError) as e:
-            report["throughput"][label] = {"skipped": str(e)[:200]}
-            print(f"{label}: skipped", flush=True)
+        prob = make_spmv_problem(c128, variant=variant, seed=18)
+        res = benchmark_spmv(prob, gold=None, config=cfg,
+                             matrix_name="zipf131k_cap128", nnz=c128.nnz)
+        report["cap128"][variant] = res.gnnz_per_s
+        print(f"cap128/{variant}: {res.gnnz_per_s:.3f} Gnnz/s", flush=True)
         with open("results/sell2_tpu.json", "w") as f:
             json.dump(report, f, indent=1)
 
-    s2 = report["throughput"].get("capped/sell2", {}).get("gnnz_per_s", 0.0)
-    el = report["throughput"].get("capped/ell", {}).get("gnnz_per_s", 0.0)
-    report["sell2_vs_ell"] = (s2 / el) if el else None
-    print(f"sell2 vs ell (capped zipf): {report['sell2_vs_ell']}", flush=True)
+    el = report["cap128"].get("ell", 0.0)
+    report["sell2_vs_ell"] = (report["cap128"]["sell2"] / el) if el else None
+    print(f"sell2 vs ell (cap128 zipf): {report['sell2_vs_ell']}", flush=True)
 
     with open("results/sell2_tpu.json", "w") as f:
         json.dump(report, f, indent=1)
