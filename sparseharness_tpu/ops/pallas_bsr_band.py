@@ -45,6 +45,10 @@ _TARGET_STEP_BYTES = 1024 * 1024
 #: x footprint above which dp switches from VMEM-resident x to streamed
 #: affine windows (HBM x, no size cap)
 X_RESIDENT_BYTES = 6 * 1024 * 1024
+#: one row-group's full-window strip block above which the window is
+#: k-chunked across a second grid axis (double-buffered blocks must stay
+#: well under the 16 MB scoped-VMEM limit)
+_MAX_GROUP_BYTES = 3 * 1024 * 1024
 
 
 @jax.tree_util.register_pytree_node_class
@@ -149,8 +153,14 @@ def dp_bsr_band(op: BsrBandOperand, x: jax.Array, sr: Semiring, *,
     if as_int:
         x2d = x2d.astype(jnp.int32)
     strips = op.strips
+    # one group's full-window strip block; beyond ~3 MB the resident
+    # path's double-buffered DMA exceeds the 16 MB scoped-VMEM limit
+    # (wide max_window overrides from the sharded band path), so such
+    # windows take the streamed path, which k-chunks the window
+    group_bytes = gs * bm * kbn * strips.dtype.itemsize
     if windowed is None:
-        windowed = x2d.size * x2d.dtype.itemsize > X_RESIDENT_BYTES
+        windowed = (x2d.size * x2d.dtype.itemsize > X_RESIDENT_BYTES
+                    or group_bytes > _MAX_GROUP_BYTES)
     if windowed:
         return _dp_windowed(op, x2d, sr, c_blocks=c_blocks, as_int=as_int)
     upcast = strips.dtype == jnp.bfloat16
@@ -227,41 +237,66 @@ def _dp_windowed(op: BsrBandOperand, x2d: jax.Array, sr: Semiring, *,
     max_base = max(c_blocks - k, 0)
     x3d = jnp.broadcast_to(x2d[:, None, :], (c_blocks, 8, bn))
 
-    bytes_per_group = gs * bm * kbn * strips.dtype.itemsize
+    # window chunk: kc slots per grid step, accumulated into the revisited
+    # out block across the minor grid axis. kc divides k so the grid is
+    # uniform (a divisor small enough always exists: a single slot is
+    # gs·bm·bn ≤ 64 KB). Also bounds the per-step x window specs (≤ 32).
+    item = strips.dtype.itemsize
+    kc = k
+    while (gs * bm * kc * bn * item > _MAX_GROUP_BYTES or kc > 32):
+        kc -= 1
+        while k % kc:
+            kc -= 1
+    n_chunks = k // kc
+
+    bytes_per_group = gs * bm * kc * bn * item
     gps = max(1, min(_TARGET_STEP_BYTES // max(bytes_per_group, 1),
-                     max(32 // k, 1), n_groups))
+                     max(32 // kc, 1), n_groups))
     while n_groups % gps:
         gps -= 1
     rg = gps * gs
 
     def kernel(strip_ref, *refs):
         xw_refs, out_ref = refs[:-1], refs[-1]
+        j = pl.program_id(1)
         for g in range(gps):  # static groups within the step
-            st = strip_ref[g * gs:(g + 1) * gs]  # (gs, bm, K·bn)
+            st = strip_ref[g * gs:(g + 1) * gs]  # (gs, bm, kc·bn)
             if upcast:
                 st = st.astype(jnp.float32)
             acc = None
-            for kk in range(k):  # static slots
+            for kk in range(kc):  # static slots within the chunk
                 part = mul(
-                    xw_refs[g * k + kk][0, 0, :][None, None, :],
+                    xw_refs[g * kc + kk][0, 0, :][None, None, :],
                     st[:, :, kk * bn:(kk + 1) * bn],
                 )
                 acc = part if acc is None else add(acc, part)
-            out_ref[g * gs:(g + 1) * gs] = reduce_(acc, axis=-1)  # (gs, bm)
+            red = reduce_(acc, axis=-1)  # (gs, bm)
+            sl = slice(g * gs, (g + 1) * gs)
+            if n_chunks == 1:
+                out_ref[sl] = red
+            else:
+                @pl.when(j == 0)
+                def _init():
+                    out_ref[sl] = red
+
+                @pl.when(j > 0)
+                def _accum():
+                    out_ref[sl] = add(out_ref[sl], red)
 
     def _xmap(g, kk):
-        return lambda i: (jnp.clip(i * gps + g + c0, 0, max_base) + kk, 0, 0)
+        return lambda i, j: (
+            jnp.clip(i * gps + g + c0, 0, max_base) + j * kc + kk, 0, 0)
 
     out = pl.pallas_call(
         kernel,
-        grid=(n_groups // gps,),
-        in_specs=[pl.BlockSpec((rg, bm, kbn), lambda i: (i, 0, 0))]
+        grid=(n_groups // gps, n_chunks),
+        in_specs=[pl.BlockSpec((rg, bm, kc * bn), lambda i, j: (i, 0, j))]
         + [pl.BlockSpec((1, 8, bn), _xmap(g, kk))
-           for g in range(gps) for kk in range(k)],
-        out_specs=pl.BlockSpec((rg, bm), lambda i: (i, 0)),
+           for g in range(gps) for kk in range(kc)],
+        out_specs=pl.BlockSpec((rg, bm), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((r_rows, bm), x2d.dtype),
         interpret=_interpret(),
-    )(strips, *([x3d] * (gps * k)))
+    )(strips, *([x3d] * (gps * kc)))
     dp = out.reshape(-1)
     if as_int:
         dp = dp > 0

@@ -263,6 +263,29 @@ def test_bsr_band_windowed_matches_resident_and_gold(srname, make):
     np.testing.assert_array_equal(outs[False], outs[True])
 
 
+@pytest.mark.parametrize("srname", ["plus_times", "min_plus", "or_and"])
+def test_bsr_band_windowed_kchunk_accumulation(srname, monkeypatch):
+    """Wide windows k-chunk across a second grid axis with out-block
+    accumulation (the path a sharded-band max_window override takes when
+    one group's full-window strip block would blow scoped VMEM). Forcing
+    a tiny per-group byte cap makes n_chunks > 1 on a small matrix."""
+    from sparseharness_tpu.ops import jnp_ops, pallas_bsr_band as bb
+
+    monkeypatch.setattr(bb, "_MAX_GROUP_BYTES", 64 * 1024)
+    sr = get_semiring(srname)
+    coo = banded_coo(1200, 130, seed=12)  # k_win = 5 -> kc = 1, 5 chunks
+    if np.dtype(sr.dtype) == np.bool_:
+        coo = coo.with_values((coo.vals != 0).astype(np.bool_))
+    x, y = _xy(sr, coo, seed=15)
+    gold = spmv_gold(coo, x, y, sr)
+    op = bb.build_bsr_band(coo, sr)
+    dp = bb.dp_bsr_band(
+        op, jnp.asarray(x), sr, n_rows=coo.shape[0], windowed=True
+    )[: coo.shape[0]]
+    out = np.asarray(jnp_ops.fold_dp(dp, jnp.asarray(y), sr, None, None))
+    assert check_result(out, gold, delta=1e-4) is Correctness.CORRECT
+
+
 def test_duplicate_entries_fold_consistently():
     """MatrixMarket allows duplicate coordinates; every variant must
     ⊕-fold them like the gold (blocked builders used to overwrite)."""
