@@ -9,9 +9,15 @@ shard_map + psum convergence; N>1 chips are not reachable from this host,
 the 8-virtual-device CPU suite covers the collective logic).
 
 Each solve is one device dispatch (whole fixpoint inside lax.while_loop),
-so wall time of a *second* call (compile excluded, result synced) over the
-iteration count is an honest iterations/s figure — per-iteration work is
-one semiring SpMV, so iters/s × nnz = effective Gnnz/s.
+but on the axon-tunneled backend a dispatch carries a large fixed RPC +
+transfer cost, so a single solve's wall clock says nothing about the
+per-iteration rate (results/fixpoint_diag_tpu.json: the while_loop body
+itself runs at 0.88-1.04 ms/iter ≈ HBM roofline, while naive solve walls
+read 12-21 ms/iter). The honest clock is two-point differencing over the
+iteration cap: time a K1-capped and a K2-capped solve of the SAME
+non-converging workload and take (t_K2 − t_K1)/(K2 − K1) — every fixed
+per-dispatch cost cancels. per-iteration work is one semiring SpMV, so
+iters/s × nnz = effective Gnnz/s.
 
 Writes results/fixpoint_tpu.json. Run from /root/repo.
 """
@@ -60,40 +66,73 @@ def main() -> int:
            "graph": f"banded n={n} nnz={g.nnz}",
            "gold_small": small, "solves": {}}
 
-    # PageRank converges in tens of iterations on any structure; BFS/SSSP on
-    # a pure band need O(n/band) — cap them so a solve is seconds, and rate
-    # over the capped run (each capped iteration is identical work)
-    cap = 512 if on_tpu else 32
-
-    def rate(name, solver):
-        # solver = prebuilt factory (return_solver=True): the timed call
-        # reruns ONLY the jitted on-device fixpoint — operand build and
-        # upload happen once, like the reference's Harness ctor
-        solver()                   # compile + warm
-        t0 = time.perf_counter()
-        res = solver()
+    def sync(res):
         np.asarray(np.asarray(res.x).ravel()[:1])
-        dt = time.perf_counter() - t0
-        iters = int(res.iterations)
+        return res
+
+    def rate(name, make_solver, k1, k2):
+        # make_solver(cap) = prebuilt factory (return_solver=True): the
+        # timed call reruns ONLY the jitted on-device fixpoint — operand
+        # build and upload happen once, like the reference's Harness ctor.
+        # Two-point differencing over the caps cancels the axon dispatch
+        # floor (see module docstring); convergence must not fire < k2
+        # (checked via res.iterations).
+        s1, s2 = make_solver(k1), make_solver(k2)
+        r1 = sync(s1())            # compile + warm both cap programs
+        r2 = sync(s2())
+        diffs, walls = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(s1())
+            t1 = time.perf_counter()
+            r2 = sync(s2())
+            t2 = time.perf_counter()
+            diffs.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+            walls.append(t2 - t1)
+        per = float(np.median(diffs))
+        capped_ok = int(r1.iterations) == k1 and int(r2.iterations) == k2
         out["solves"][name] = {
-            "iterations": iters,
-            "wall_s": round(dt, 4),
-            "iters_per_s": round(iters / dt, 2) if dt > 0 else 0.0,
-            "effective_gnnz_per_s": round(iters / dt * g.nnz / 1e9, 3)
-            if dt > 0 else 0.0,
-            "converged": bool(res.converged),
+            "k1": k1, "k2": k2, "caps_reached": bool(capped_ok),
+            "ms_per_iter": round(per * 1e3, 4),
+            "iters_per_s": round(1.0 / per, 2) if per > 0 else 0.0,
+            "effective_gnnz_per_s": round(g.nnz / per / 1e9, 3)
+            if per > 0 else 0.0,
+            "dispatch_wall_s_k2": round(float(np.median(walls)), 4),
+            "note": "dispatch_wall includes the axon RPC/transfer floor; "
+                    "ms_per_iter is the two-point differential",
         }
 
+    k1, k2 = (64, 192) if on_tpu else (4, 12)
+    kp1, kp2 = (24, 72) if on_tpu else (4, 12)
+    # band-3 BFS/SSSP need ~n/3 iterations to converge — caps never bind;
+    # PageRank runs with delta=0 so δ-convergence cannot fire either
     rate("bfs_or_and",
-         bfs(g, 0, variant="auto", max_iter=cap, return_solver=True))
+         lambda cap: bfs(g, 0, variant="auto", max_iter=cap,
+                         return_solver=True), k1, k2)
     rate("sssp_min_plus",
-         sssp(g, 0, variant="auto", max_iter=cap, return_solver=True))
+         lambda cap: sssp(g, 0, variant="auto", max_iter=cap,
+                          return_solver=True), k1, k2)
     rate("pagerank",
-         pagerank(g, variant="auto", max_iter=cap, return_solver=True))
+         lambda cap: pagerank(g, variant="auto", delta=0.0, max_iter=cap,
+                              return_solver=True), kp1, kp2)
 
     mesh = make_mesh(1)
     rate("sharded_pagerank_1dev",
-         sharded_pagerank(g, mesh=mesh, max_iter=cap, return_solver=True))
+         lambda cap: sharded_pagerank(g, mesh=mesh, delta=0.0, max_iter=cap,
+                                      return_solver=True), kp1, kp2)
+
+    # end-to-end converged PageRank (default δ=1e-6): the wall of one full
+    # solve, reported separately so the converged-iteration count is on
+    # record without polluting the per-iteration rate
+    solver = pagerank(g, variant="auto", return_solver=True)
+    sync(solver())
+    t0 = time.perf_counter()
+    res = sync(solver())
+    dt = time.perf_counter() - t0
+    out["solves"]["pagerank_converged"] = {
+        "iterations": int(res.iterations), "converged": bool(res.converged),
+        "dispatch_wall_s": round(dt, 4),
+    }
 
     print(json.dumps(out, indent=1))
     if on_tpu:
