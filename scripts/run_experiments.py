@@ -39,6 +39,12 @@ def main() -> int:
                         "(BASELINE config #2)")
     p.add_argument("--trials", type=int, default=5)
     p.add_argument("--inner-iters", type=int, default=1)
+    p.add_argument("--reorder", default=None, choices=["rcm"],
+                   help="apply RCM bandwidth reduction to each matrix "
+                        "before the sweep (SpMV is permutation-equivalent); "
+                        "result files are tagged '<matrix>+rcm' so they sit "
+                        "beside the unreordered points — the remedy the "
+                        "blocked-layout guards name for scattered structure")
     p.add_argument("--outdir", required=True)
     p.add_argument("--experiment-id", default="sweep")
     p.add_argument("--sql", action="store_true", help="also write .sql files")
@@ -73,6 +79,16 @@ def main() -> int:
     matrices = {}
     for m in args.matrices:
         matrices[os.path.basename(m)] = read_mtx(m)
+    if args.reorder == "rcm":
+        from sparseharness_tpu.formats.reorder import bandwidth, reorder_rcm
+
+        reordered = {}
+        for name, coo in matrices.items():
+            b0 = bandwidth(coo)
+            rc, _ = reorder_rcm(coo)
+            print(f"{name}: rcm bandwidth {b0} -> {bandwidth(rc)}")
+            reordered[name + "+rcm"] = rc
+        matrices = reordered
     if args.synthetic:
         matrices["synthetic_banded"] = banded_coo(1 << 14, 15, seed=1)
         matrices["synthetic_power"] = power_law_coo(1 << 13, 1 << 16, seed=2)

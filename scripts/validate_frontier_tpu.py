@@ -4,11 +4,22 @@ compute is the Pallas sell2 kernel, and its per-iteration cost on a
 1-device mesh is within ~2x of the corresponding non-frontier sharded
 mode (mode="sell", dense all-gather exchange).
 
-Both solvers run the SAME zipf graph to the SAME fixpoint; per-iteration
-wall = solve wall / iterations on the second (compiled) call, result
-synced via a 1-element np.asarray. The frontier path additionally
-reports its measured exchange compression. Gold-checked against the
-single-device BFS levels.
+Both solvers run the SAME zipf graph to the SAME fixpoint. Two clocks,
+both honest about what they include:
+
+  marginal_ms_per_iter — two-point differential between a k1-capped and
+      a k2-capped solve of the same workload (prebuilt solvers via
+      return_solver=True, so operand build/upload is excluded and the
+      axon dispatch floor cancels in the difference). This is the
+      device-rate figure.
+  solve_wall_ms — wall of one full converged solve on the prebuilt
+      solver (includes the one-dispatch RPC floor, excludes build).
+
+The earlier committed artifact timed `sharded_sssp(...)` end-to-end per
+call, so its 278-303 ms/iter was dominated by the per-call numpy operand
+packing — a build-throughput number, not an iteration rate. The frontier
+path additionally reports its measured exchange compression.
+Gold-checked against sssp_gold.
 
 Writes results/frontier_tpu.json. Run from /root/repo.
 """
@@ -45,36 +56,54 @@ def main() -> int:
     mesh = make_mesh(1)
     root = 0
     cap = 64 if on_tpu else 16   # identical capped work for both paths
+    k1, k2 = 3, 6                # sub-convergence caps for the differential clock
 
-    def timed(fn):
-        res = fn()                     # compile + warm
+    def sync(res):
+        np.asarray(np.asarray(res.x).ravel()[:1])
+        return res
+
+    def timed(make_solver):
+        # full converged solve on a PREBUILT solver (build excluded)
+        solver = make_solver(cap)
+        res = sync(solver())                 # compile + warm
         walls = []
         for _ in range(3):
             t0 = time.perf_counter()
-            res = fn()
-            np.asarray(np.asarray(res.x).ravel()[:1])
+            res = sync(solver())
             walls.append(time.perf_counter() - t0)
-        return res, float(np.median(walls))
+        # two-point differential over sub-convergence caps: k1/k2 both bind (the
+        # solve converges later), so (t_k2 - t_k1)/(k2 - k1) is the
+        # marginal per-iteration device cost, dispatch floor cancelled
+        s1, s2 = make_solver(k1), make_solver(k2)
+        sync(s1()); sync(s2())
+        diffs = []
+        for _ in range(3):
+            t0 = time.perf_counter(); sync(s1())
+            t1 = time.perf_counter(); sync(s2())
+            t2 = time.perf_counter()
+            diffs.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+        return res, float(np.median(walls)), float(np.median(diffs))
 
-    res_s, wall_s = timed(lambda: sharded_sssp(
-        g, root, mesh=mesh, mode="sell", max_iter=cap))
-    res_f, wall_f = timed(lambda: frontier_sssp(
-        g, root, mesh=mesh, budget=4096, max_iter=cap))
+    res_s, wall_s, per_s = timed(lambda c: sharded_sssp(
+        g, root, mesh=mesh, mode="sell", max_iter=c, return_solver=True))
+    res_f, wall_f, per_f = timed(lambda c: frontier_sssp(
+        g, root, mesh=mesh, budget=4096, max_iter=c, return_solver=True))
 
     gold = sssp_gold(g, root, max_iter=cap)
     ok_s = bool(np.allclose(np.asarray(res_s.x), gold, rtol=1e-5))
     ok_f = bool(np.allclose(np.asarray(res_f.x), gold, rtol=1e-5))
 
-    per_s = wall_s / max(res_s.iterations, 1)
-    per_f = wall_f / max(res_f.iterations, 1)
     out = {
         "backend": jax.default_backend(),
         "device": jax.devices()[0].device_kind,
         "graph": f"zipf n={n} nnz={g.nnz}",
         "iterations": {"sell": res_s.iterations, "frontier": res_f.iterations},
         "gold_ok": {"sell": ok_s, "frontier": ok_f},
-        "ms_per_iter": {"sell": round(per_s * 1e3, 3),
-                        "frontier": round(per_f * 1e3, 3)},
+        "solve_wall_ms": {"sell": round(wall_s * 1e3, 3),
+                          "frontier": round(wall_f * 1e3, 3)},
+        "marginal_ms_per_iter": {"sell": round(per_s * 1e3, 3),
+                                 "frontier": round(per_f * 1e3, 3)},
+        "marginal_caps": [k1, k2],
         "frontier_over_sell": round(per_f / per_s, 3) if per_s else None,
         "frontier_local": res_f.local,
         "exchange": {
