@@ -113,18 +113,23 @@ def main() -> int:
 
         sync(f1(arrs, x_sh))
         sync(f2(arrs, x_sh))
-        t_ks, t_2ks = [], []
+        # min-wall per chain length, then one two-point difference: the
+        # earlier rank-paired median over 5 jittery axon walls at k=16
+        # misread this case by ±40% in both directions (0.69 ms/op =
+        # 1166 GB/s, above the HBM spec; scripts/probe_ab_clock.py
+        # established min-wall two-point is stable to ~3% for k >= 32)
+        w1 = w2 = np.inf
         for _ in range(trials):
             t0 = time.perf_counter(); sync(f1(arrs, x_sh))
-            t_ks.append(time.perf_counter() - t0)
+            w1 = min(w1, time.perf_counter() - t0)
             t0 = time.perf_counter(); sync(f2(arrs, x_sh))
-            t_2ks.append(time.perf_counter() - t0)
-        t_ks.sort(); t_2ks.sort()
-        per = float(np.median(
-            [max((b - a) / k, 1e-9) for a, b in zip(t_ks, t_2ks)]
-        ))
-        # one-shot output for the A/B equivalence check
-        out = np.asarray(f1(arrs, x_sh))
+            w2 = min(w2, time.perf_counter() - t0)
+        per = max((w2 - w1) / k, 1e-9)
+        # equivalence check on a SHORT chain: the k>=32 timing chains
+        # overflow f32 (unnormalized plus_times feedback grows ~70x per
+        # iteration on 127 nnz/row), and inf*0̄ padding turns both outputs
+        # to nan — proving nothing. Two iterations stay finite.
+        out = np.asarray(chained(2)(arrs, x_sh))
         return per, out
 
     results = {"backend": jax.default_backend(),
@@ -133,9 +138,9 @@ def main() -> int:
     cases = []
     if on_tpu:
         cases.append(("small_halo_band63",
-                      banded_coo(1 << 19, 63, seed=1), 8, 16, 5))
+                      banded_coo(1 << 19, 63, seed=1), 8, 64, 4))
         cases.append(("heavy_halo_8192",
-                      wide_reach_coo(1 << 15, 8191, 64, seed=2), 192, 8, 5))
+                      wide_reach_coo(1 << 15, 8191, 64, seed=2), 192, 32, 4))
     else:
         cases.append(("small_halo_band5",
                       banded_coo(1 << 12, 5, seed=1), 8, 2, 2))
