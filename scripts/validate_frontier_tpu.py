@@ -8,18 +8,23 @@ Both solvers run the SAME zipf graph to the SAME fixpoint. Two clocks,
 both honest about what they include:
 
   marginal_ms_per_iter — two-point differential between a k1-capped and
-      a k2-capped solve of the same workload (prebuilt solvers via
-      return_solver=True, so operand build/upload is excluded and the
-      axon dispatch floor cancels in the difference). This is the
-      device-rate figure.
+      a k2-capped solve (prebuilt solvers via return_solver=True, so
+      operand build/upload is excluded and the axon dispatch floor
+      cancels in the min-wall difference). Measured on a CHAINED-cluster
+      zipf graph: 64 power-law clusters strung on a path, diameter well
+      past 96, so caps 32/96 both bind — a flat zipf blob converges in
+      ~7 iterations, far too few to difference against ~100 ms of
+      per-solve axon jitter (the first attempt read negative rates).
+      Long-diameter + small frontiers is also the workload the frontier
+      mode exists for; the flat blob is its worst case.
   solve_wall_ms — wall of one full converged solve on the prebuilt
-      solver (includes the one-dispatch RPC floor, excludes build).
+      solver (includes the one-dispatch RPC floor, excludes build),
+      on the original flat zipf graph, with its exchange compression.
 
 The earlier committed artifact timed `sharded_sssp(...)` end-to-end per
 call, so its 278-303 ms/iter was dominated by the per-call numpy operand
-packing — a build-throughput number, not an iteration rate. The frontier
-path additionally reports its measured exchange compression.
-Gold-checked against sssp_gold.
+packing — a build-throughput number, not an iteration rate. Both graphs
+gold-checked against sssp_gold.
 
 Writes results/frontier_tpu.json. Run from /root/repo.
 """
@@ -53,16 +58,38 @@ def main() -> int:
     n = 200_000 if on_tpu else 4_000
     g = power_law_coo(n, 4 * n, alpha=1.5, seed=21)
     g = g.with_values(np.abs(g.vals) + 0.05)
+
+    # chained clusters: C zipf blobs + path edges between neighbours —
+    # diameter scales with C, frontiers stay cluster-sized
+    C = 64 if on_tpu else 8
+    m = n // C
+    from sparseharness_tpu.formats.sparse import COO
+    sub = power_law_coo(m, 4 * m, alpha=1.5, seed=22)
+    rr, cc, vv = [], [], []
+    for ci in range(C):
+        rr.append(sub.rows.astype(np.int64) + ci * m)
+        cc.append(sub.cols.astype(np.int64) + ci * m)
+        vv.append(np.abs(sub.vals) + 0.05)
+    link = np.arange(1, C, dtype=np.int64) * m
+    # bidirectional bridge edges between consecutive clusters
+    rr.append(link); cc.append(link - 1)
+    rr.append(link - 1); cc.append(link)
+    vv.append(np.full(link.size, 0.5, np.float32))
+    vv.append(np.full(link.size, 0.5, np.float32))
+    gch = COO(np.concatenate(rr).astype(np.int32),
+              np.concatenate(cc).astype(np.int32),
+              np.concatenate(vv).astype(np.float32), (C * m, C * m))
+
     mesh = make_mesh(1)
     root = 0
     cap = 64 if on_tpu else 16   # identical capped work for both paths
-    k1, k2 = 3, 6                # sub-convergence caps for the differential clock
+    k1, k2 = (32, 96) if on_tpu else (4, 8)
 
     def sync(res):
         np.asarray(np.asarray(res.x).ravel()[:1])
         return res
 
-    def timed(make_solver):
+    def solve_wall(make_solver):
         # full converged solve on a PREBUILT solver (build excluded)
         solver = make_solver(cap)
         res = sync(solver())                 # compile + warm
@@ -71,39 +98,53 @@ def main() -> int:
             t0 = time.perf_counter()
             res = sync(solver())
             walls.append(time.perf_counter() - t0)
-        # two-point differential over sub-convergence caps: k1/k2 both bind (the
-        # solve converges later), so (t_k2 - t_k1)/(k2 - k1) is the
-        # marginal per-iteration device cost, dispatch floor cancelled
+        return res, float(np.median(walls))
+
+    def marginal(make_solver):
+        # min-wall two-point over caps that both bind on the chained
+        # graph (diameter >> k2): per-solve fixed costs cancel
         s1, s2 = make_solver(k1), make_solver(k2)
-        sync(s1()); sync(s2())
-        diffs = []
+        r1 = sync(s1())
+        r2 = sync(s2())
+        w1 = w2 = np.inf
         for _ in range(3):
             t0 = time.perf_counter(); sync(s1())
-            t1 = time.perf_counter(); sync(s2())
-            t2 = time.perf_counter()
-            diffs.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
-        return res, float(np.median(walls)), float(np.median(diffs))
+            w1 = min(w1, time.perf_counter() - t0)
+            t0 = time.perf_counter(); sync(s2())
+            w2 = min(w2, time.perf_counter() - t0)
+        caps_ok = int(r1.iterations) == k1 and int(r2.iterations) == k2
+        return (w2 - w1) / (k2 - k1), caps_ok, r2
 
-    res_s, wall_s, per_s = timed(lambda c: sharded_sssp(
+    res_s, wall_s = solve_wall(lambda c: sharded_sssp(
         g, root, mesh=mesh, mode="sell", max_iter=c, return_solver=True))
-    res_f, wall_f, per_f = timed(lambda c: frontier_sssp(
+    res_f, wall_f = solve_wall(lambda c: frontier_sssp(
         g, root, mesh=mesh, budget=4096, max_iter=c, return_solver=True))
+
+    per_s, ok_caps_s, _ = marginal(lambda c: sharded_sssp(
+        gch, root, mesh=mesh, mode="sell", max_iter=c, return_solver=True))
+    per_f, ok_caps_f, rch_f = marginal(lambda c: frontier_sssp(
+        gch, root, mesh=mesh, budget=4096, max_iter=c, return_solver=True))
 
     gold = sssp_gold(g, root, max_iter=cap)
     ok_s = bool(np.allclose(np.asarray(res_s.x), gold, rtol=1e-5))
     ok_f = bool(np.allclose(np.asarray(res_f.x), gold, rtol=1e-5))
+    gold_ch = sssp_gold(gch, root, max_iter=k2)
+    ok_ch = bool(np.allclose(np.asarray(rch_f.x), gold_ch, rtol=1e-5))
 
     out = {
         "backend": jax.default_backend(),
         "device": jax.devices()[0].device_kind,
         "graph": f"zipf n={n} nnz={g.nnz}",
+        "chained_graph": f"{C}x zipf clusters n={C*m} nnz={gch.nnz}",
         "iterations": {"sell": res_s.iterations, "frontier": res_f.iterations},
-        "gold_ok": {"sell": ok_s, "frontier": ok_f},
+        "gold_ok": {"sell": ok_s, "frontier": ok_f,
+                    "frontier_chained_capped": ok_ch},
         "solve_wall_ms": {"sell": round(wall_s * 1e3, 3),
                           "frontier": round(wall_f * 1e3, 3)},
         "marginal_ms_per_iter": {"sell": round(per_s * 1e3, 3),
                                  "frontier": round(per_f * 1e3, 3)},
         "marginal_caps": [k1, k2],
+        "marginal_caps_reached": {"sell": ok_caps_s, "frontier": ok_caps_f},
         "frontier_over_sell": round(per_f / per_s, 3) if per_s else None,
         "frontier_local": res_f.local,
         "exchange": {
