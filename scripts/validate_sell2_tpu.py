@@ -62,6 +62,36 @@ def main():
         report["correctness"][srname] = verdict.name
         print(f"sell2 × {srname}: {verdict.name}", flush=True)
 
+    # ---- correctness of the virtual-chunk path on chip ------------------
+    # wide scattered structure with sub-panel chunk segments: the builder
+    # regroups them under synthetic xT tiles (Sell2Operand.virt_blocks)
+    from sparseharness_tpu.formats.sparse import COO as _COO
+    from sparseharness_tpu.ops.pallas_sell2 import CHUNK_COLS
+
+    vr = np.random.default_rng(19)
+    nv = 4096
+    chv = np.repeat(np.arange(60), 64)
+    bkv = np.repeat(np.tile(np.arange(4), 60), 16)
+    vcoo = _COO(
+        vr.integers(0, nv, chv.size).astype(np.int32),
+        (chv * CHUNK_COLS + bkv * 128
+         + vr.integers(0, 128, chv.size)).astype(np.int32),
+        vr.uniform(0.1, 1.0, chv.size).astype(np.float32),
+        (nv, 60 * CHUNK_COLS),
+    )
+    sr = get_semiring("plus_times")
+    opv = build_operand(vcoo, sr, "sell2", Geometry())
+    assert getattr(opv, "virt_blocks", None) is not None
+    xv = vr.uniform(0.1, 1.0, vcoo.shape[1]).astype(np.float32)
+    yv = vr.uniform(0.1, 1.0, vcoo.shape[0]).astype(np.float32)
+    outv = np.asarray(spmv(opv, jnp.asarray(xv), jnp.asarray(yv), sr=sr,
+                           variant="sell2", n_rows=nv))
+    vv = check_result(outv, spmv_gold(vcoo, xv, yv, sr), delta=1e-4,
+                      scale=spmv_abs_bound(vcoo, xv))
+    report["correctness"]["plus_times@virtual_chunks"] = vv.name
+    print(f"sell2 virtual-chunk path: {vv.name} "
+          f"({opv.virt_blocks.shape[0]} vchunks)", flush=True)
+
     # ---- throughput: zipf α=1.5, ≥1M nnz --------------------------------
     big = power_law_coo(500_000, 2_000_000, alpha=1.5, seed=13)
     print(f"zipf matrix: n={big.shape[0]} nnz={big.nnz}", flush=True)

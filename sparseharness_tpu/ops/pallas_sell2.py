@@ -117,6 +117,13 @@ SLOT_BYTE_CAP = 2 << 30
 SPLIT_T = 256
 #: windowed-greedy pairing: candidate pool size (lightest-K remaining)
 PAIR_WINDOW = 16
+#: chunks whose per-slab 1-way sublane demand is at most this are
+#: *virtualized*: their blocks regroup into synthetic xT tiles so tiny
+#: segments from many chunks can share panels (a panel prefetches only
+#: two xT tiles — on the zipf bench ~45% of slots were chunk-boundary
+#: padding from ~30 sub-panel segments per slab). Half a panel: a chunk
+#: above this earns its own tile slots.
+VIRT_DEMAND_T = 64
 
 
 class _SlabLayout(NamedTuple):
@@ -133,11 +140,18 @@ class Sell2Operand:
     """Packed panel streams per row slab + static layout.
 
     arrays per slab: chunk (P,) i32 scalar-prefetch, wordA (P·128,128) i32,
-    wordB (P·128,128) i32, vals (P·128,128)."""
+    wordB (P·128,128) i32, vals (P·128,128).
+
+    ``virt_blocks`` (n_virt, 128) i32, optional: global 128-column block
+    ids backing each *virtual chunk* — synthetic xT tiles (ids ≥ n_chunks)
+    that dp_sell2 row-gathers from x so that light chunk segments from
+    many real chunks can share panels (a panel prefetches only two xT
+    tiles, so on scattered structure ~45% of slots were chunk-boundary
+    padding before this)."""
 
     def __init__(self, slabs, layouts: Tuple[_SlabLayout, ...],
                  n_chunks: int, n_rows: int, base_pad: int,
-                 piece_owner=None):
+                 piece_owner=None, virt_blocks=None):
         self.slabs = slabs
         self.layouts = layouts
         self.n_chunks = int(n_chunks)
@@ -146,14 +160,16 @@ class Sell2Operand:
         # are overflow pieces ⊕-combined into piece_owner after the sweep
         self.base_pad = int(base_pad)
         self.piece_owner = piece_owner
+        self.virt_blocks = virt_blocks
 
     def tree_flatten(self):
-        return (self.slabs, self.piece_owner), (
+        return (self.slabs, self.piece_owner, self.virt_blocks), (
             self.layouts, self.n_chunks, self.n_rows, self.base_pad)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], *aux, piece_owner=children[1])
+        return cls(children[0], *aux, piece_owner=children[1],
+                   virt_blocks=children[2])
 
 
 def _next_pow2(k: np.ndarray) -> np.ndarray:
@@ -175,7 +191,8 @@ def _grouped_exclusive_cumsum(vals: np.ndarray, group_key: np.ndarray):
 
 def build_sell2(coo: COO, sr: Semiring,
                 value_dtype: str = "float32",
-                split_calls: bool = True) -> Sell2Operand:
+                split_calls: bool = True,
+                virtual_chunks: bool = True) -> Sell2Operand:
     """Pack a COO matrix into the panel-stream layout (pure NumPy).
 
     ``split_calls``: bucket each slab's panels by (butterfly depth group,
@@ -185,7 +202,14 @@ def build_sell2(coo: COO, sr: Semiring,
     worst-case depth × two tiles (VERDICT r2 weak #3). Multiple layouts
     then share a row0; dp_sell2 ⊕-combines their out tiles. The sharded
     builder passes False (its cross-shard layout union needs one call per
-    slab index)."""
+    slab index).
+
+    ``virtual_chunks``: regroup blocks of light chunk segments (per-slab
+    1-way demand ≤ VIRT_DEMAND_T sublanes) into synthetic xT tiles that
+    dp_sell2 row-gathers per SpMV, so they pack densely instead of each
+    claiming one of a panel's two tile slots. Banded/local structure has
+    no light segments and pays nothing. The sharded builder passes False
+    (its slab-stacking layout union predates the field)."""
     n, c = coo.shape
     _, _, _, _, zero, as_int = _carrier(sr)
     np_dtype = np.int32 if as_int else np.dtype(sr.dtype)
@@ -239,6 +263,7 @@ def build_sell2(coo: COO, sr: Semiring,
     slabs = []
     layouts: List[_SlabLayout] = []
     total_slots = 0
+    virt_rows: List[np.ndarray] = []   # per virtual chunk: 128 block ids
     for r0 in range(0, n_pad, SLAB_ROWS):
         rows_slab = min(SLAB_ROWS, n_pad - r0)
         e0 = int(indptr[min(r0, n_tot)])
@@ -256,6 +281,37 @@ def build_sell2(coo: COO, sr: Semiring,
         chunk = cols_e // CHUNK_COLS
         blkc = (cols_e % CHUNK_COLS) // LANES
         col_lane = cols_e % LANES
+
+        # ---- virtual chunks -------------------------------------------
+        # chunks whose whole-slab 1-way demand is sub-panel fragment the
+        # stream (each claims one of a panel's TWO prefetched tile slots);
+        # regroup their blocks under synthetic chunk ids — the kernel is
+        # untouched, dp_sell2 just appends gathered xT tiles. Light chunks
+        # have ≤ VIRT_DEMAND_T blocks by construction (demand ≥ #blocks).
+        if virtual_chunks:
+            gb = cols_e // LANES                     # global block id
+            gbu, gbi = np.unique(gb, return_inverse=True)
+            cnt_b = np.zeros((len(gbu), LANES), np.int64)
+            np.add.at(cnt_b, (gbi, lane), 1)
+            dem_b = cnt_b.max(axis=1)                # per-block demand
+            chu = gbu // LANES
+            dem_c = np.zeros(int(chu.max()) + 1, np.int64)
+            np.add.at(dem_c, chu, dem_b)
+            light_b = dem_c[chu] <= VIRT_DEMAND_T
+            if np.unique(chu[light_b]).size >= 2:
+                lb = np.nonzero(light_b)[0]          # light blocks, id order
+                vid = np.arange(lb.size, dtype=np.int64)
+                echunk = chu.copy()
+                eblk = (gbu % LANES).astype(np.int64)
+                echunk[lb] = n_chunks + len(virt_rows) + vid // LANES
+                eblk[lb] = vid % LANES
+                for t in range(0, lb.size, LANES):
+                    row = np.zeros(LANES, np.int32)
+                    ids = gbu[lb[t:t + LANES]]
+                    row[: len(ids)] = ids.astype(np.int32)
+                    virt_rows.append(row)
+                chunk = echunk[gbi]
+                blkc = eblk[gbi]
 
         # ---- phase A packing ------------------------------------------
         # entry position within its (chunk, blk, lane) pile
@@ -559,6 +615,7 @@ def build_sell2(coo: COO, sr: Semiring,
         slabs, tuple(layouts), n_chunks, n, base_pad,
         piece_owner=jnp.asarray(piece_owner) if piece_owner is not None
         else None,
+        virt_blocks=jnp.asarray(np.stack(virt_rows)) if virt_rows else None,
     )
 
 
@@ -695,6 +752,15 @@ def dp_sell2(op: Sell2Operand, x: jax.Array, sr: Semiring, *,
     # xT[k·128 + l, r] = x[k·16384 + r·128 + l]: per-chunk transposed tiles
     xT = x_pad.reshape(op.n_chunks, LANES, LANES).transpose(0, 2, 1)
     xT = xT.reshape(op.n_chunks * LANES, LANES)
+    if op.virt_blocks is not None:
+        # synthetic tiles for virtualized light segments: row-gather the
+        # backing 128-column blocks (128-lane row gathers — the fast
+        # XLA gather shape, not the per-element scalar loop) and lay them
+        # out like a chunk's transposed tile
+        xb = x_pad.reshape(-1, LANES)                # (n_blocks, 128)
+        vt = xb[op.virt_blocks]                      # (n_v, 128, 128)
+        xT = jnp.concatenate(
+            [xT, vt.transpose(0, 2, 1).reshape(-1, LANES)])
 
     # multiple layouts may share a row0 (split_calls buckets): their out
     # tiles ⊕-combine into one slab result, slabs concatenate row-major

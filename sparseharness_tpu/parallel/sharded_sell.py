@@ -123,9 +123,11 @@ def build_sharded_sell(
             coo.cols[sel], coo.vals[sel], (chunk, c),
         )
         # one call per slab index: the cross-shard layout union below
-        # matches slabs positionally, so no per-panel call bucketing here
+        # matches slabs positionally, so no per-panel call bucketing and
+        # no virtual chunks here (their per-shard gather tables would
+        # need the same union treatment — single-device only for now)
         ops.append(build_sell2(sub, sr, value_dtype=value_dtype,
-                               split_calls=False))
+                               split_calls=False, virtual_chunks=False))
 
     # ---- union the static layouts across shards ------------------------
     S = max(len(op.layouts) for op in ops)

@@ -119,3 +119,43 @@ def test_layout_stats():
     for lay in op.layouts:
         assert 1 <= lay.depth <= 7
         assert lay.rows % 1024 == 0
+
+
+def test_virtual_chunks_gold_and_density():
+    # wide scattered structure: many chunks whose per-slab segments are
+    # sub-panel. Virtualization must (a) trigger, (b) reduce panels vs
+    # the off switch, (c) stay gold-correct — incl. a min-plus identity
+    # check (FLT_MAX rides the virtual gather like any x value)
+    # many light chunks with dense piles: 60 chunks × 4 occupied blocks
+    # × 16 entries — every chunk's segment is sub-panel (demand ~8), so
+    # without virtualization each claims one of a panel's two tile slots
+    rng = np.random.default_rng(9)
+    n = 4096
+    ch = np.repeat(np.arange(60), 64)
+    bk = np.repeat(np.tile(np.arange(4), 60), 16)
+    rows = rng.integers(0, n, ch.size).astype(np.int32)
+    cols = (ch * CHUNK_COLS + bk * 128
+            + rng.integers(0, 128, ch.size)).astype(np.int32)
+    vals = rng.uniform(0.1, 1.0, ch.size).astype(np.float32)
+    coo = COO(rows, cols, vals, (n, 60 * CHUNK_COLS))
+    sr = get_semiring("plus_times")
+    op_on = build_sell2(coo, sr)
+    op_off = build_sell2(coo, sr, virtual_chunks=False)
+    assert op_on.virt_blocks is not None, "virtualization should trigger"
+    p_on = sum(l.panels for l in op_on.layouts)
+    p_off = sum(l.panels for l in op_off.layouts)
+    assert p_on < p_off, (p_on, p_off)
+    _run(coo)
+    _run(coo, "min_plus")
+    _run(coo, "max_right")
+
+
+def test_virtual_chunks_off_for_local_structure():
+    # banded/local structure: every chunk is heavy → no virtual chunks,
+    # identical layouts with the switch on or off
+    from sparseharness_tpu.formats import banded_coo
+
+    coo = banded_coo(3000, 5, seed=10)
+    sr = get_semiring("plus_times")
+    op = build_sell2(coo, sr)
+    assert op.virt_blocks is None
