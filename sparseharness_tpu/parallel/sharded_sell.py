@@ -60,7 +60,7 @@ class ShardedSellOperand:
 
     def __init__(self, slabs, piece_owner, layouts: Tuple[_SlabLayout, ...],
                  n_chunks: int, n_cols: int, chunk_rows: int, base_pad: int,
-                 n_rows: int):
+                 n_rows: int, virt_blocks=None):
         self.slabs = slabs
         self.piece_owner = piece_owner   # (D, Q) i32 or None
         self.layouts = layouts
@@ -69,21 +69,27 @@ class ShardedSellOperand:
         self.chunk_rows = int(chunk_rows)
         self.base_pad = int(base_pad)
         self.n_rows = int(n_rows)
+        # (D, n_v, 128) i32 or None: per-shard virtual-chunk gather tables
+        # (padded with block id 0 — padded tiles are never referenced)
+        self.virt_blocks = virt_blocks
 
     def tree_flatten(self):
-        return (self.slabs, self.piece_owner), (
+        return (self.slabs, self.piece_owner, self.virt_blocks), (
             self.layouts, self.n_chunks, self.n_cols, self.chunk_rows,
             self.base_pad, self.n_rows)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], *aux)
+        return cls(children[0], children[1], *aux, virt_blocks=children[2])
 
     def arrays(self):
         """The traced pytree handed to the sharded solver."""
-        if self.piece_owner is None:
-            return {"slabs": self.slabs}
-        return {"slabs": self.slabs, "piece_owner": self.piece_owner}
+        tree = {"slabs": self.slabs}
+        if self.piece_owner is not None:
+            tree["piece_owner"] = self.piece_owner
+        if self.virt_blocks is not None:
+            tree["virt_blocks"] = self.virt_blocks
+        return tree
 
 
 def _identity_words(two_tiles: bool):
@@ -123,11 +129,9 @@ def build_sharded_sell(
             coo.cols[sel], coo.vals[sel], (chunk, c),
         )
         # one call per slab index: the cross-shard layout union below
-        # matches slabs positionally, so no per-panel call bucketing and
-        # no virtual chunks here (their per-shard gather tables would
-        # need the same union treatment — single-device only for now)
+        # matches slabs positionally, so no per-panel call bucketing
         ops.append(build_sell2(sub, sr, value_dtype=value_dtype,
-                               split_calls=False, virtual_chunks=False))
+                               split_calls=False))
 
     # ---- union the static layouts across shards ------------------------
     S = max(len(op.layouts) for op in ops)
@@ -186,10 +190,24 @@ def build_sharded_sell(
                 po[d, :q] = np.asarray(op.piece_owner)
         piece_owner = jnp.asarray(po)
 
+    # union the virtual-chunk gather tables (pad with block id 0 — the
+    # padded tiles are gathered but never referenced by any sublane)
+    nv_max = max(
+        (0 if op.virt_blocks is None else int(op.virt_blocks.shape[0]))
+        for op in ops
+    )
+    virt_blocks = None
+    if nv_max:
+        vb = np.zeros((n_shards, nv_max, LANES), np.int32)
+        for d, op in enumerate(ops):
+            if op.virt_blocks is not None:
+                vb[d, : op.virt_blocks.shape[0]] = np.asarray(op.virt_blocks)
+        virt_blocks = jnp.asarray(vb)
+
     return (
         ShardedSellOperand(
             slabs, piece_owner, tuple(layouts), ops[0].n_chunks, c,
-            chunk, base_pad, n,
+            chunk, base_pad, n, virt_blocks=virt_blocks,
         ),
         chunk,
     )
@@ -209,9 +227,11 @@ def _sell_dp_full(op: ShardedSellOperand, op_local, x_full, sr: Semiring):
         slabs_l.append({k: v[0] for k, v in loc.items()})
     po = op_local.get("piece_owner")
     po = po[0] if po is not None else None
+    vb = op_local.get("virt_blocks")
+    vb = vb[0] if vb is not None else None
     op2 = Sell2Operand(
         slabs_l, op.layouts, op.n_chunks, op.chunk_rows, op.base_pad,
-        piece_owner=po,
+        piece_owner=po, virt_blocks=vb,
     )
     dp = dp_sell2(op2, x_full, sr, n_rows=op.chunk_rows)[: op.chunk_rows]
     dp = dp.astype(sr.dtype)
@@ -231,6 +251,8 @@ def _traced_arrays(op: ShardedSellOperand):
     tree = {"slabs": [sd for sd in op.slabs if sd is not None]}
     if op.piece_owner is not None:
         tree["piece_owner"] = op.piece_owner
+    if op.virt_blocks is not None:
+        tree["virt_blocks"] = op.virt_blocks
     return tree
 
 

@@ -91,3 +91,32 @@ def test_sell_solver_cached(mesh):
     after = len(fixcore._SOLVER_CACHE)
     assert mid == before + 1 and after == mid
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_sell_virtual_chunks(mesh):
+    # wide scattered structure with sub-panel chunk segments per shard:
+    # the per-shard builders virtualize light chunks and the union stacks
+    # their gather tables (padded shards reference block 0, never read)
+    from sparseharness_tpu.ops.pallas_sell2 import CHUNK_COLS
+
+    rng = np.random.default_rng(41)
+    n = 60 * CHUNK_COLS          # square: the sharded path shards x by rows
+    ch = np.repeat(np.arange(60), 64)
+    bk = np.repeat(np.tile(np.arange(4), 60), 16)
+    coo = COO(
+        rng.integers(0, n, ch.size).astype(np.int32),
+        (ch * CHUNK_COLS + bk * 128
+         + rng.integers(0, 128, ch.size)).astype(np.int32),
+        rng.uniform(0.1, 1.0, ch.size).astype(np.float32),
+        (n, n),
+    )
+    op, _ = build_sharded_sell(coo, PLUS_TIMES, mesh.devices.size)
+    assert op.virt_blocks is not None, "virtualization should trigger"
+    x = rng.uniform(0.1, 1.0, coo.shape[1]).astype(np.float32)
+    got = np.asarray(
+        sharded_spmv_sell(mesh, op, jnp.asarray(x), PLUS_TIMES,
+                          n_rows=coo.shape[0])
+    )
+    want = spmv_gold(coo, x, None, PLUS_TIMES)
+    scale = np.maximum(np.abs(want), 1.0)
+    np.testing.assert_allclose(got / scale, want / scale, atol=1e-5)
