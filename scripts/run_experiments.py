@@ -84,8 +84,13 @@ def main() -> int:
 
         reordered = {}
         for name, coo in matrices.items():
-            b0 = bandwidth(coo)
-            rc, _ = reorder_rcm(coo)
+            try:
+                b0 = bandwidth(coo)
+                rc, _ = reorder_rcm(coo)
+            except ValueError as e:      # e.g. non-square matrix
+                print(f"{name}: rcm skipped ({e}); sweeping unreordered")
+                reordered[name] = coo
+                continue
             print(f"{name}: rcm bandwidth {b0} -> {bandwidth(rc)}")
             reordered[name + "+rcm"] = rc
         matrices = reordered
