@@ -70,7 +70,7 @@ def main() -> int:
         np.asarray(np.asarray(res.x).ravel()[:1])
         return res
 
-    def rate(name, make_solver, k1, k2):
+    def rate(name, make_solver, k1, k2, nnz=None):
         # make_solver(cap) = prebuilt factory (return_solver=True): the
         # timed call reruns ONLY the jitted on-device fixpoint — operand
         # build and upload happen once, like the reference's Harness ctor.
@@ -91,11 +91,12 @@ def main() -> int:
             walls.append(t2 - t1)
         per = float(np.median(diffs))
         capped_ok = int(r1.iterations) == k1 and int(r2.iterations) == k2
+        nnz_eff = g.nnz if nnz is None else nnz
         out["solves"][name] = {
             "k1": k1, "k2": k2, "caps_reached": bool(capped_ok),
             "ms_per_iter": round(per * 1e3, 4),
             "iters_per_s": round(1.0 / per, 2) if per > 0 else 0.0,
-            "effective_gnnz_per_s": round(g.nnz / per / 1e9, 3)
+            "effective_gnnz_per_s": round(nnz_eff / per / 1e9, 3)
             if per > 0 else 0.0,
             "dispatch_wall_s_k2": round(float(np.median(walls)), 4),
             "note": "dispatch_wall includes the axon RPC/transfer floor; "
@@ -120,6 +121,18 @@ def main() -> int:
     rate("sharded_pagerank_1dev",
          lambda cap: sharded_pagerank(g, mesh=mesh, delta=0.0, max_iter=cap,
                                       return_solver=True), kp1, kp2)
+
+    # scattered regime: BFS on a long-diameter chained power-law graph —
+    # variant=auto routes the structure to the sell2 crossbar kernel
+    # (virtual-chunk packing), caps bind because diameter >> k2
+    from sparseharness_tpu.formats import chained_power_law_coo
+
+    gz = chained_power_law_coo(1 << 18 if on_tpu else 1 << 12,
+                               128 if on_tpu else 8, seed=23)
+    out["scattered_graph"] = f"chained zipf n={gz.shape[0]} nnz={gz.nnz}"
+    rate("bfs_or_and_scattered_sell2",
+         lambda cap: bfs(gz, 0, variant="auto", max_iter=cap,
+                         return_solver=True), k1, k2, nnz=gz.nnz)
 
     # end-to-end converged PageRank (default δ=1e-6): the wall of one full
     # solve, reported separately so the converged-iteration count is on

@@ -12,6 +12,7 @@ from sparseharness_tpu.formats.generate import (  # noqa: F401
     random_graph_coo,
     banded_coo,
     power_law_coo,
+    chained_power_law_coo,
     block_random_coo,
 )
 from sparseharness_tpu.formats.preprocess import (  # noqa: F401

@@ -96,6 +96,45 @@ def power_law_coo(
     return _dedup(rows2, cols2, vals, (n, n))
 
 
+def chained_power_law_coo(
+    n: int,
+    clusters: int,
+    nnz_per_node: float = 4.0,
+    alpha: float = 1.5,
+    dtype=np.float32,
+    seed: int = 0,
+    weight_range=(0.1, 1.0),
+) -> COO:
+    """``clusters`` power-law blobs strung on a path with bidirectional
+    bridge edges — scattered local structure with a diameter that scales
+    with ``clusters``. The long-diameter benchmark shape: BFS/SSSP run
+    O(clusters) iterations with cluster-sized frontiers, so iteration-
+    capped two-point timing has caps that bind (a flat zipf blob
+    converges in a handful of sweeps)."""
+    rng = np.random.default_rng(seed)
+    m = max(n // clusters, 2)
+    sub = power_law_coo(m, int(nnz_per_node * m), alpha=alpha, seed=seed + 1)
+    lo, hi = weight_range
+    rows = [
+        np.concatenate([sub.rows.astype(np.int64) + ci * m
+                        for ci in range(clusters)])
+    ]
+    cols = [
+        np.concatenate([sub.cols.astype(np.int64) + ci * m
+                        for ci in range(clusters)])
+    ]
+    vals = [np.tile(np.abs(sub.vals).astype(dtype) + lo, clusters)]
+    link = np.arange(1, clusters, dtype=np.int64) * m
+    rows.append(np.concatenate([link, link - 1]))
+    cols.append(np.concatenate([link - 1, link]))
+    vals.append(np.full(2 * link.size, (lo + hi) / 2, dtype))
+    n_tot = clusters * m
+    return _dedup(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals),
+        (n_tot, n_tot),
+    )
+
+
 def block_random_coo(
     n: int,
     blocks_per_row: int,
