@@ -139,3 +139,16 @@ def test_power_law_has_ragged_rows():
     coo = power_law_coo(512, 4000, seed=0)
     lengths = coo.row_lengths()
     assert lengths.max() > 4 * max(lengths.mean(), 1)
+
+
+def test_chained_power_law_coo():
+    from sparseharness_tpu.formats import chained_power_law_coo
+    from sparseharness_tpu.gold.algorithms import bfs_levels_gold
+
+    g = chained_power_law_coo(1 << 12, 8, seed=23)
+    n = g.shape[0]
+    assert g.shape == (n, n) and g.nnz > 0
+    # bridges make the cluster chain traversable and the diameter scale
+    # with the cluster count: BFS from 0 needs more levels than clusters
+    levels = bfs_levels_gold(g, 0)
+    assert levels.max() >= 8
