@@ -85,6 +85,7 @@ def main() -> int:
                              inner_iters=32 if on_tpu else 2)
 
     best = None
+    candidates = {}
     for variant, geom in (
         ("bsr_band", Geometry(8, 128)),
         ("bsr_band", Geometry(8, 128, "bfloat16")),
@@ -94,6 +95,12 @@ def main() -> int:
             prob, gold=None, config=config,
             geometry=geom, matrix_name=f"banded{n}", nnz=coo.nnz,
         )
+        candidates[f"{variant}@{geom}"] = {
+            "roofline_frac": round(float(res.roofline_frac), 4),
+            "gnnz_per_s": round(
+                coo.nnz / (res.median_ns * 1e-9) / 1e9, 3)
+            if res.median_ns else 0.0,
+        }
         # winner by the headline metric itself: roofline_frac = achieved
         # bytes/s ÷ peak HBM BW for that layout (bf16 halves the bytes, so
         # it can win nnz/s while moving fewer bytes/s — its gnnz_per_s is
@@ -125,6 +132,7 @@ def main() -> int:
             "matrix": f"banded n={n} nnz={coo.nnz}",
             "device": jax.devices()[0].device_kind,
             "gate_skipped": gate_skipped,
+            "candidates": candidates,
         },
     }))
     return 0
