@@ -7,7 +7,7 @@ TPU). This module closes that gap for the structures band can't take —
 power-law/scattered graphs: the matrix is row-block partitioned across the
 ``"rows"`` mesh axis and each shard's chunk is packed by
 ``ops.pallas_sell2.build_sell2`` (the chip-validated all-crossbar ragged
-kernel, 693× the ELL path on zipf structure), so the per-iteration local
+kernel, 1434× the ELL path on zipf structure), so the per-iteration local
 compute inside ``shard_map`` is exactly ``dp_sell2`` over an all-gathered
 x.
 
