@@ -29,7 +29,7 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from sparseharness_tpu.algorithms import make_spmv_problem
-    from sparseharness_tpu.formats import banded_coo, random_coo
+    from sparseharness_tpu.formats import banded_coo, power_law_coo, random_coo
     from sparseharness_tpu.gold import spmv_gold, Correctness
     from sparseharness_tpu.harness import (
         BenchmarkConfig, benchmark_spmv,
@@ -38,6 +38,14 @@ def main() -> int:
     from sparseharness_tpu.semiring import PLUS_TIMES
 
     on_tpu = jax.default_backend() == "tpu"
+
+    # capability guards that are EXPECTED to fire: sell v1 needs multi-vreg
+    # sublane dynamic_gather, which the production Mosaic build rejects
+    # (DEBUG/REFERENCE variant; superseded by sell2). Any other variant
+    # landing in gate_skipped is a regression and fails the gate loudly
+    # (ADVICE r3: a variant regressing into NotImplementedError must not
+    # silently drop out of the gold check).
+    expected_skips = {"sell"}
 
     # ---- correctness gate (small, EVERY registered variant on its home
     # structure — VERDICT r2 weak #7: the headline protocol gold-checks the
@@ -72,6 +80,15 @@ def main() -> int:
                 "error": f"gold check failed for {variant}",
             }))
             return 1
+    unexpected = set(gate_skipped) - expected_skips
+    if unexpected:
+        print(json.dumps({
+            "metric": "spmv_roofline_frac", "value": 0.0,
+            "unit": "fraction", "vs_baseline": 0.0,
+            "error": f"unexpected gate skips: "
+                     f"{ {k: gate_skipped[k] for k in sorted(unexpected)} }",
+        }))
+        return 1
 
     # ---- throughput (SuiteSparse-scale) -------------------------------
     # chained two-point timing (inner_iters): per-op = (t_2K − t_K)/K,
@@ -115,6 +132,29 @@ def main() -> int:
         if best is None or res.roofline_frac > best[2]:
             best = (f"{variant}@{geom}", res, res.roofline_frac, gnnz)
 
+    # ---- ragged flagship gate (VERDICT r3 next #2): the zipf/power-law
+    # family rides the sell2 all-crossbar kernel, which is VPU-tile-op
+    # bound, not HBM bound — its roofline_frac is vs max(HBM, VPU) via
+    # harness.roofline.variant_vpu_seconds, so a packing-density or panel-
+    # pipeline regression moves this number visibly ---------------------
+    rn = 500_000 if on_tpu else 4_000
+    rnnz = 2_000_000 if on_tpu else 16_000
+    zipf = power_law_coo(rn, rnnz, alpha=1.5, seed=13)
+    rprob = make_spmv_problem(zipf, variant="sell2", seed=3)
+    rres = benchmark_spmv(
+        rprob, gold=None, config=config, matrix_name=f"zipf{rn}",
+        nnz=zipf.nnz,
+    )
+    ragged = {
+        "variant": "sell2",
+        "gnnz_per_s": round(
+            zipf.nnz / (rres.median_ns * 1e-9) / 1e9, 3)
+        if rres.median_ns else 0.0,
+        "ceiling_frac": round(float(rres.roofline_frac), 4),
+        "median_ms": round(rres.median_ns / 1e6, 4),
+        "matrix": f"zipf n={rn} nnz={zipf.nnz}",
+    }
+
     variant, res, frac, _ = best
     frac = float(frac)
     print(json.dumps({
@@ -133,6 +173,7 @@ def main() -> int:
             "device": jax.devices()[0].device_kind,
             "gate_skipped": gate_skipped,
             "candidates": candidates,
+            "ragged": ragged,
         },
     }))
     return 0

@@ -42,9 +42,11 @@ def _common_parser(description: str) -> argparse.ArgumentParser:
                    help="host label for result records (the reference's "
                         "-n hostname); defaults to platform.node()")
     p.add_argument("-k", "--kernel", default="ell",
-                   help="kernel variant (auto|ell|coo_seg|dense|dia|"
+                   help="kernel variant (auto|ell|coo_seg|dense|sell2|"
                         "bsr_pallas|bsr_ell|bsr_fused|bsr_band); 'auto' "
-                        "picks the fastest applicable structure")
+                        "picks the fastest applicable structure. dia and "
+                        "sell are DEBUG/REFERENCE variants (sell cannot "
+                        "run on the production Mosaic build — use sell2)")
     p.add_argument("-r", "--runfile", default=None,
                    help="runfile CSV (reference format) for a geometry sweep")
     p.add_argument("--sweep", action="store_true",

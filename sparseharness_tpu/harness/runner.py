@@ -29,9 +29,7 @@ from sparseharness_tpu.gold.check import Correctness, check_result
 from sparseharness_tpu.harness.stats import (
     BenchRecord, Statistic, median_record,
 )
-from sparseharness_tpu.harness.roofline import (
-    device_hbm_bandwidth, variant_bytes,
-)
+from sparseharness_tpu.harness.roofline import roofline_seconds
 from sparseharness_tpu.ops import spmv, Geometry
 from sparseharness_tpu.utils.timing import ScopedTimer, report_timing
 from sparseharness_tpu.utils.logging import get_logger
@@ -224,7 +222,9 @@ def benchmark_spmv(
 
     x_bytes = x.size * x.dtype.itemsize
     out_bytes = out.size * out.dtype.itemsize
-    sol = variant_bytes(problem.variant, op, x_bytes, out_bytes) / device_hbm_bandwidth()
+    # speed-of-light: max(HBM-traffic, VPU-tile-op) bound — the ragged
+    # crossbar kernels are VPU-bound, not bytes-bound (VERDICT r3 weak #3)
+    sol = roofline_seconds(problem.variant, op, x_bytes, out_bytes)
 
     records: List[BenchRecord] = []
     timeout = config.timeout_s

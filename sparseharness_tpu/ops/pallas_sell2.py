@@ -17,20 +17,23 @@ compile helper — probe 5 stage 4).
 Everything is organised around (128, 128) *panels* of a packed entry
 stream. For each panel the kernel does, entirely in registers:
 
-1. **Staging.** Each stream sublane s is bound at build time to a *pair*
-   of 128-wide block-rows of x inside one 16K-column *chunk*; the chunk's
+1. **Staging.** Each stream sublane s is bound at build time to *two*
+   128-wide block-rows of x inside one 16K-column *chunk*; the chunk's
    transposed tile xT (built once per SpMV by XLA) is block-streamed via a
    scalar-prefetched per-panel chunk id. ``y_w[l, s] = xT[l, blk_w[s]]``
    (one lane crossbar per way) then a transpose puts x rows back
    sublane-major. Two ways per sublane halve the per-block padding floor
    for scattered tails (a sublane whose two blocks each hold a handful of
-   entries carries both); a per-slot way bit picks the staged row. No
-   scalar row loads (those measure 5.1 Gslot/s — probe 4) and no VMEM cap
-   on the x size.
+   entries carries both); a per-slot way bit picks the staged row. The
+   bindings are per-sublane, so block↔sublane assignment is a two-shelf
+   interval packing (_twoshelf_pack), not an all-or-nothing block
+   pairing: a heavy block's slack sublanes each absorb a different light
+   partner. No scalar row loads (those measure 5.1 Gslot/s — probe 4)
+   and no VMEM cap on the x size.
 2. **Phase A (contrib).** ``w_w[s, l] = staged_w[s, lanesel[s, l]]`` (lane
    crossbar per way), way-selected, then ``contrib = mul(w, vals)``.
    An entry at slot (s, l) must have ``col // 128 ∈ {blk0[s], blk1[s]}``
-   and ``row % 128 == l`` — the (block-pair, row-lane) histogram packing.
+   and ``row % 128 == l`` — the (block-binding, row-lane) packing.
 3. **Phase B (row reduce).** ``tc = contrib.T`` makes each row-class
    r%128 a sublane whose 128 lanes are the panel's stream sublanes. Two
    *align* crossbars gather every row's entries into power-of-two-aligned
@@ -115,15 +118,21 @@ PAD_BLOWUP_LIMIT = 24.0
 SLOT_BYTE_CAP = 2 << 30
 #: rows longer than this split into col-striped overflow pieces
 SPLIT_T = 256
-#: windowed-greedy pairing: candidate pool size (lightest-K remaining)
-PAIR_WINDOW = 16
+#: two-shelf packer: max forward pushes before placing on fresh ground
+SHELF_MAX_PUSH = 64
+#: two-shelf packer: holes remembered per shelf for backfilling
+SHELF_MAX_HOLES = 64
+#: two-shelf packer: placements probed inside one hole before giving up
+SHELF_HOLE_TRIES = 32
 #: chunks whose per-slab 1-way sublane demand is at most this are
 #: *virtualized*: their blocks regroup into synthetic xT tiles so tiny
 #: segments from many chunks can share panels (a panel prefetches only
 #: two xT tiles — on the zipf bench ~45% of slots were chunk-boundary
-#: padding from ~30 sub-panel segments per slab). Half a panel: a chunk
-#: above this earns its own tile slots.
-VIRT_DEMAND_T = 64
+#: padding from ~30 sub-panel segments per slab). Just under one panel:
+#: a chunk above this earns its own tile slots; chunks below it would
+#: pack into sub-panel pools whose 2-chunks-per-panel pairing wastes the
+#: panel remainder (218→213 panels on the zipf bench vs the old 64).
+VIRT_DEMAND_T = 100
 
 
 class _SlabLayout(NamedTuple):
@@ -189,6 +198,100 @@ def _grouped_exclusive_cumsum(vals: np.ndarray, group_key: np.ndarray):
     return cum - np.cumsum(start_of)
 
 
+def _twoshelf_pack(cnt: np.ndarray):
+    """Two-shelf interval packing of one chunk-pool's block lane
+    histograms (cnt: n_blocks × 128) onto stream sublanes.
+
+    The layout carries blk0/blk1 *per sublane* (wordB), so block↔sublane
+    binding need not be an all-or-nothing pairing: each block gets one
+    contiguous interval of ``demand = max_l cnt[b, l]`` sublanes on one of
+    two *shelves* (layers); any sublane is covered by ≤1 interval per
+    shelf ⇒ ≤2 bindings, and a heavy block's slack absorbs MANY lighter
+    partners instead of exactly one. Blocks are placed by demand
+    descending at the shorter shelf's frontier, pushed forward until the
+    block's per-lane piles fit the actual free cells (exact occupancy
+    bookkeeping); skipped spans are remembered as holes that later
+    (smaller) blocks backfill. On the r3 zipf bench this packs 2.285 →
+    ~1.89 slots/nnz against the Σdemand/2 two-binding floor of 1.53
+    (scripts/probe_sell2_{density,shelves}.py).
+
+    Returns ``(n_sub, bind0, bind1, way, placements)``: per-sublane local
+    block ids per shelf (−1 = uncovered), per-block shelf bit, and a list
+    of ``(local_block, lane, sublane_ids)`` pile placements covering
+    every entry (len(sublane_ids) = cnt[b, lane], pile order).
+    """
+    demand = cnt.max(axis=1)
+    order = np.argsort(-demand, kind="stable")
+    order = order[demand[order] > 0]
+    cap = int(demand.sum()) + SHELF_MAX_PUSH + 1
+    occ = np.zeros((cap, LANES), bool)
+    bind = [np.full(cap, -1, np.int64), np.full(cap, -1, np.int64)]
+    way = np.zeros(cnt.shape[0], np.int8)
+    placements: list = []
+    frontier = [0, 0]
+    holes: List[List[Tuple[int, int]]] = [[], []]
+
+    def fits(o, d, h):
+        return bool(np.all(d - occ[o:o + d].sum(axis=0) >= h))
+
+    def place(bi, sh, o, d, h):
+        for l in np.nonzero(h)[0]:
+            rows = np.nonzero(~occ[o:o + d, l])[0][: h[l]]
+            occ[o + rows, l] = True
+            placements.append((bi, l, o + rows))
+        bind[sh][o:o + d] = bi
+        way[bi] = sh
+
+    for bi in order:
+        h = cnt[bi]
+        d = int(demand[bi])
+        placed = False
+        for sh in (0, 1):
+            hl = holes[sh]
+            for k in range(len(hl)):
+                h0, h1 = hl[k]
+                if h1 - h0 < d:
+                    continue
+                o = h0
+                tries = 0
+                while o + d <= h1 and tries < SHELF_HOLE_TRIES:
+                    if fits(o, d, h):
+                        break
+                    o += 1
+                    tries += 1
+                else:
+                    continue
+                place(bi, sh, o, d, h)
+                new = []
+                if o > h0:
+                    new.append((h0, o))
+                if o + d < h1:
+                    new.append((o + d, h1))
+                hl[k:k + 1] = new
+                placed = True
+                break
+            if placed:
+                break
+        if placed:
+            continue
+        sh = 0 if frontier[0] <= frontier[1] else 1
+        o = frontier[sh]
+        pushes = 0
+        while pushes < SHELF_MAX_PUSH:
+            if fits(o, d, h):
+                break
+            o += 1
+            pushes += 1
+        else:
+            o = max(frontier[0], frontier[1])   # fresh ground always fits
+        if o > frontier[sh] and len(holes[sh]) < SHELF_MAX_HOLES:
+            holes[sh].append((frontier[sh], o))
+        place(bi, sh, o, d, h)
+        frontier[sh] = o + d
+    n_sub = max(frontier)
+    return n_sub, bind[0][:n_sub], bind[1][:n_sub], way, placements
+
+
 def build_sell2(coo: COO, sr: Semiring,
                 value_dtype: str = "float32",
                 split_calls: bool = True,
@@ -208,8 +311,9 @@ def build_sell2(coo: COO, sr: Semiring,
     1-way demand ≤ VIRT_DEMAND_T sublanes) into synthetic xT tiles that
     dp_sell2 row-gathers per SpMV, so they pack densely instead of each
     claiming one of a panel's two tile slots. Banded/local structure has
-    no light segments and pays nothing. The sharded builder passes False
-    (its slab-stacking layout union predates the field)."""
+    no light segments and pays nothing. The sharded builder relies on the
+    default True and unions the per-shard gather tables (only
+    ``split_calls`` is False there — parallel/sharded_sell.py)."""
     n, c = coo.shape
     _, _, _, _, zero, as_int = _carrier(sr)
     np_dtype = np.int32 if as_int else np.dtype(sr.dtype)
@@ -299,30 +403,37 @@ def build_sell2(coo: COO, sr: Semiring,
             np.add.at(dem_c, chu, dem_b)
             light_b = dem_c[chu] <= VIRT_DEMAND_T
             if np.unique(chu[light_b]).size >= 2:
-                lb = np.nonzero(light_b)[0]          # light blocks, id order
-                vid = np.arange(lb.size, dtype=np.int64)
+                lb = np.nonzero(light_b)[0]
+                # deal blocks demand-desc round-robin across the pools so
+                # every pool gets the full heavy→light spectrum — the
+                # two-shelf packer fills heavy blocks' slack with light
+                # partners, so segregated pools pack measurably worse
+                # (213 vs 210 panels on the zipf bench)
+                lb = lb[np.argsort(-dem_b[lb], kind="stable")]
+                npools = -(-lb.size // LANES)
+                pool_of = np.arange(lb.size) % npools
+                lb = lb[np.argsort(pool_of, kind="stable")]
+                sizes = np.bincount(pool_of, minlength=npools)
+                vid_pool = np.repeat(np.arange(npools), sizes)
                 echunk = chu.copy()
                 eblk = (gbu % LANES).astype(np.int64)
-                echunk[lb] = n_chunks + len(virt_rows) + vid // LANES
-                eblk[lb] = vid % LANES
-                for t in range(0, lb.size, LANES):
+                echunk[lb] = n_chunks + len(virt_rows) + vid_pool
+                eblk[lb] = np.concatenate(
+                    [np.arange(c, dtype=np.int64) for c in sizes])
+                o = 0
+                for c in sizes:
                     row = np.zeros(LANES, np.int32)
-                    ids = gbu[lb[t:t + LANES]]
+                    ids = gbu[lb[o:o + int(c)]]
                     row[: len(ids)] = ids.astype(np.int32)
                     virt_rows.append(row)
+                    o += int(c)
                 chunk = echunk[gbi]
                 blkc = eblk[gbi]
 
         # ---- phase A packing ------------------------------------------
-        # entry position within its (chunk, blk, lane) pile
+        # entries sorted (chunk, blk, lane): pool-contiguous, pile order
         order = np.lexsort((lane, blkc, chunk))
         och, obl, oln = chunk[order], blkc[order], lane[order]
-        key_cbl = (och * LANES + obl) * LANES + oln
-        starts = np.r_[0, 1 + np.nonzero(np.diff(key_cbl))[0]]
-        gid = np.zeros(m, np.int64)
-        gid[starts[1:]] = 1
-        gid = np.cumsum(gid)
-        pos = np.arange(m, dtype=np.int64) - starts[gid]
 
         # per-(chunk, blk) lane histograms
         key_cb = och * LANES + obl
@@ -330,107 +441,73 @@ def build_sell2(coo: COO, sr: Semiring,
         ncb = len(cb_u)
         cnt_cbl = np.zeros((ncb, LANES), np.int64)
         np.add.at(cnt_cbl, (cb_inv, oln), 1)
-        demand_cb = cnt_cbl.max(axis=1)
         cb_chunk = cb_u // LANES
 
-        # pair blocks within each chunk: a sublane carries both ways'
-        # piles, so tail blocks share slots. Windowed greedy: take the
-        # heaviest unpaired block, scan the PAIR_WINDOW lightest remaining
-        # for the partner whose lane histogram collides least
-        # (cost = max_l(dA+dB); ~25% fewer sublanes than heaviest-lightest
-        # on zipf tails)
-        pair_of_cb = np.zeros(ncb, np.int64)
-        way_of_cb = np.zeros(ncb, np.int64)
-        pair_chunk: List[int] = []
-        pair_blk0: List[int] = []
-        pair_blk1: List[int] = []
-        pair_a_cb: List[int] = []
-        pair_b_cb: List[int] = []
-        npairs = 0
-        for ch in np.unique(cb_chunk):
-            idx = np.nonzero(cb_chunk == ch)[0]
-            idx = idx[np.argsort(-demand_cb[idx], kind="stable")]
-            alive = np.ones(len(idx), bool)
-            fi, bi = 0, len(idx) - 1
-            while fi <= bi:
-                if not alive[fi]:
-                    fi += 1
-                    continue
-                a = idx[fi]
-                alive[fi] = False
-                cand_pos = []
-                p = bi
-                while p > fi and len(cand_pos) < PAIR_WINDOW:
-                    if alive[p]:
-                        cand_pos.append(p)
-                    p -= 1
-                if cand_pos:
-                    cands = idx[cand_pos]
-                    costs = (cnt_cbl[a] + cnt_cbl[cands]).max(axis=1)
-                    k = int(np.argmin(costs))
-                    b = int(cands[k])
-                    alive[cand_pos[k]] = False
-                    while bi > fi and not alive[bi]:
-                        bi -= 1
-                else:
-                    b = -1
-                pair_of_cb[a] = npairs
-                way_of_cb[a] = 0
-                if b >= 0:
-                    pair_of_cb[b] = npairs
-                    way_of_cb[b] = 1
-                pair_chunk.append(int(ch))
-                pair_blk0.append(int(cb_u[a] % LANES))
-                pair_blk1.append(int(cb_u[b] % LANES) if b >= 0
-                                 else int(cb_u[a] % LANES))
-                pair_a_cb.append(int(a))
-                pair_b_cb.append(int(b))
-                npairs += 1
-        pair_chunk_a = np.asarray(pair_chunk, np.int64)
-        # combined per-lane piles and pair sublane demand
-        dA = cnt_cbl[np.asarray(pair_a_cb)]
-        dB = np.where(
-            (np.asarray(pair_b_cb) >= 0)[:, None],
-            cnt_cbl[np.maximum(np.asarray(pair_b_cb), 0)], 0)
-        demand_pair = (dA + dB).max(axis=1)
+        # two-shelf interval packing per chunk-pool (see _twoshelf_pack):
+        # every sublane carries ≤2 block bindings via its own blk0/blk1
+        # fields, so a heavy block's slack absorbs many light partners
+        # instead of the r3 all-or-nothing pairing
+        pool_ids = np.unique(cb_chunk)
+        packs = []
+        pool_nsub = np.zeros(len(pool_ids), np.int64)
+        for ci, ch in enumerate(pool_ids):
+            sel = np.nonzero(cb_chunk == ch)[0]
+            pk = _twoshelf_pack(cnt_cbl[sel])
+            packs.append((sel,) + pk)
+            pool_nsub[ci] = pk[0]
 
         # chunk-major stream packed CONTIGUOUSLY across chunk boundaries:
         # a panel may mix sublanes from up to TWO chunks (the kernel
         # prefetches two xT tiles per panel; a per-sublane bit selects
-        # one), so each chunk's segment starts wherever the previous
-        # ended. The old panel-per-chunk alignment rounded every (slab,
-        # chunk) group up to whole 127-sublane panels — ~55% of all slots
-        # were boundary padding on the zipf bench (674 panels for 28.6k
-        # demanded sublanes). A segment start is bumped to the next panel
-        # boundary only when its start panel already touches two chunks.
-        off_pair = _grouped_exclusive_cumsum(demand_pair, pair_chunk_a)
-        ch_u = np.unique(pair_chunk_a)
-        ch_sub = np.zeros(len(ch_u), np.int64)
-        ch_of_pair = np.searchsorted(ch_u, pair_chunk_a)
-        np.add.at(ch_sub, ch_of_pair, demand_pair)
-        seg_start = np.zeros(len(ch_u), np.int64)
+        # one), so each pool's segment starts wherever the previous
+        # ended. A segment start is bumped to the next panel boundary
+        # only when its start panel already touches two chunks.
+        seg_start = np.zeros(len(pool_ids), np.int64)
         panel_touch: List[List[int]] = []   # chunks touching each panel
         q = 0
-        for ci in range(len(ch_u)):
+        # lay segments longest-first: long segments leave one mid-panel
+        # boundary each for the next segment to continue from, and the
+        # sub-half-panel pools pair up 2-per-panel at the end instead of
+        # forcing a bump against every long segment's tail
+        for ci in np.argsort(-pool_nsub, kind="stable"):
+            if pool_nsub[ci] == 0:
+                seg_start[ci] = q
+                continue
             p0 = q // USABLE
             if p0 < len(panel_touch) and len(panel_touch[p0]) >= 2:
                 q = (p0 + 1) * USABLE
             seg_start[ci] = q
-            q_end = q + int(ch_sub[ci])
+            q_end = q + int(pool_nsub[ci])
             for pp in range(q // USABLE, (q_end - 1) // USABLE + 1):
                 while len(panel_touch) <= pp:
                     panel_touch.append([])
-                panel_touch[pp].append(int(ch_u[ci]))
+                panel_touch[pp].append(int(pool_ids[ci]))
             q = q_end
         P = (q + USABLE - 1) // USABLE
         while len(panel_touch) < P:
             panel_touch.append([])
 
-        # per entry: pair, way, stacked position, panel, in-panel sublane
-        pe = pair_of_cb[cb_inv]
-        wy = way_of_cb[cb_inv]
-        pos_in_pair = pos + np.where(wy == 1, dA[pe, oln], 0)
-        g_abs = seg_start[ch_of_pair[pe]] + off_pair[pe] + pos_in_pair
+        # per entry: stream slot from the packer's pile placements.
+        # Entries within a pool are (blk asc, lane asc, pile-pos) ordered,
+        # exactly the placement-scatter order via per-pile start offsets.
+        ent_pool = np.searchsorted(pool_ids, cb_chunk)[cb_inv]
+        pool_cnt = np.bincount(ent_pool, minlength=len(pool_ids))
+        pool_start = np.zeros(len(pool_ids) + 1, np.int64)
+        np.cumsum(pool_cnt, out=pool_start[1:])
+        g_abs = np.empty(m, np.int64)
+        way_e = np.empty(m, np.int8)
+        for ci, (sel, n_sub, b0, b1, way_b, placements) in enumerate(packs):
+            e0p, e1p = int(pool_start[ci]), int(pool_start[ci + 1])
+            cnt_pool = cnt_cbl[sel].reshape(-1)
+            pstart = np.zeros(cnt_pool.size + 1, np.int64)
+            np.cumsum(cnt_pool, out=pstart[1:])
+            flat = np.empty(e1p - e0p, np.int64)
+            for lb, l, rows in placements:
+                s0 = int(pstart[lb * LANES + l])
+                flat[s0:s0 + len(rows)] = rows
+            g_abs[e0p:e1p] = seg_start[ci] + flat
+            lb_e = np.searchsorted(sel, cb_inv[e0p:e1p])
+            way_e[e0p:e1p] = way_b[lb_e]
         panel = g_abs // USABLE
         s_sub = g_abs % USABLE
 
@@ -499,26 +576,29 @@ def build_sell2(coo: COO, sr: Semiring,
         vals_arr[flatA, oln] = vals_e[order]
         # lanesel (bits 0-6) + way (bit 29) at [stream-sublane, lane]
         wordB[flatA, oln] |= (col_lane[order].astype(np.int32)
-                              | (wy.astype(np.int32) << 29))
+                              | (way_e.astype(np.int32) << 29))
         # blk0/blk1 (bits 22-28 / 15-21) + chunk-select (bit 30) at
-        # [*, stream-sublane]: expand the pair spans into the packed
-        # stream, then scatter panel-wise
+        # [*, stream-sublane]: per-sublane shelf bindings from the packer
+        # scattered panel-wise (uncovered sublanes keep the identity 0s)
         blk0_of_sub = np.zeros((P, LANES), np.int32)
         blk1_of_sub = np.zeros((P, LANES), np.int32)
         csel_of_sub = np.zeros((P, LANES), np.int32)
-        stream_pair = np.repeat(np.arange(npairs), demand_pair)
-        g_in_chunk = _grouped_exclusive_cumsum(
-            np.ones(len(stream_pair), np.int64), pair_chunk_a[stream_pair])
-        g_sub_abs = seg_start[ch_of_pair[stream_pair]] + g_in_chunk
-        sp_panel = g_sub_abs // USABLE
-        sp_sub = g_sub_abs % USABLE
-        blk0_of_sub[sp_panel, sp_sub] = np.asarray(pair_blk0, np.int32)[
-            stream_pair]
-        blk1_of_sub[sp_panel, sp_sub] = np.asarray(pair_blk1, np.int32)[
-            stream_pair]
-        csel_of_sub[sp_panel, sp_sub] = (
-            pair_chunk_a[stream_pair] == chunk_of_panel[sp_panel, 1]
-        ).astype(np.int32)
+        for ci, (sel, n_sub, b0, b1, _w, _pl) in enumerate(packs):
+            if n_sub == 0:
+                continue
+            g = seg_start[ci] + np.arange(n_sub)
+            sp_panel = g // USABLE
+            sp_sub = g % USABLE
+            blks = (cb_u[sel] % LANES).astype(np.int32)
+            v0 = np.where(b0 >= 0, blks[np.maximum(b0, 0)], -1)
+            v1 = np.where(b1 >= 0, blks[np.maximum(b1, 0)], -1)
+            blk0_of_sub[sp_panel, sp_sub] = np.where(
+                v0 >= 0, v0, np.maximum(v1, 0))
+            blk1_of_sub[sp_panel, sp_sub] = np.where(
+                v1 >= 0, v1, np.maximum(v0, 0))
+            csel_of_sub[sp_panel, sp_sub] = (
+                pool_ids[ci] == chunk_of_panel[sp_panel, 1]
+            ).astype(np.int32)
         wordB |= np.repeat(
             ((blk0_of_sub << 22) | (blk1_of_sub << 15)
              | (csel_of_sub << 30))[:, None, :],

@@ -241,10 +241,12 @@ register_variant(
         build=lambda coo, sr, g: pallas_sell.build_sell(coo, sr),
         dp=_dp_sell,
         description=(
-            "Gen-5 ragged/power-law kernel (the reference's rsa family, "
-            "example/kernel5.json): column-block-packed contrib stream via "
-            "two vectorized VMEM dynamic-gathers + lane-preserving "
-            "gather-reduce levels; no padding blow-up on zipf rows"
+            "Gen-5 ragged kernel (DEBUG/REFERENCE variant — use sell2: "
+            "this design rides multi-vreg sublane dynamic_gather, which "
+            "the production Mosaic build rejects, so it runs in interpret "
+            "mode only; BENCH_r03.json gate_skipped records the guard). "
+            "Kept as the design record that motivated sell2's all-crossbar "
+            "pipeline; superseded by sell2 on every axis"
         ),
     )
 )
