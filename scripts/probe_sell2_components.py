@@ -7,10 +7,13 @@ Writes results/sell2_components_tpu.json.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def chain_time(fn, args, k1=32, k2=64, trials=5):

@@ -85,12 +85,22 @@ def run_fixpoint(
     )
 
 
+def make_stepped_step(step_fn: Callable, convergence: Callable):
+    """One jitted ``x → (x_new, converged_flag)`` step. Build it once and
+    pass it as ``compiled_step`` to several :func:`run_fixpoint_stepped`
+    generators: a fresh ``jax.jit(lambda ...)`` per generator is a new
+    cache key, so every trial would re-trace AND re-compile (the
+    reference compiles once in its ctor, inc/harness.h:68)."""
+    return jax.jit(lambda x: _step_with_flag(step_fn, convergence, x))
+
+
 def run_fixpoint_stepped(
     step_fn: Callable,
     x0: jax.Array,
     *,
     convergence: Callable,
     max_iter: int,
+    compiled_step=None,
 ):
     """Host-stepped variant mirroring the reference's per-iteration loop
     (one device launch + one convergence scalar readback per iteration).
@@ -101,7 +111,8 @@ def run_fixpoint_stepped(
     """
     import numpy as np
 
-    one_step = jax.jit(lambda x: _step_with_flag(step_fn, convergence, x))
+    one_step = compiled_step if compiled_step is not None else (
+        make_stepped_step(step_fn, convergence))
     x = x0
     iters = 0
     converged = False

@@ -64,6 +64,12 @@ def _common_parser(description: str) -> argparse.ArgumentParser:
                    help="skip the gold correctness check")
     p.add_argument("--trace", action="store_true",
                    help="emit PROFILING_DATUM scoped-timer lines")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler trace of the solve to DIR "
+                        "(open with TensorBoard/XProf) — kernel-granular "
+                        "device timelines, the analogue of the reference's "
+                        "per-launch CL event profiling (inc/harness.h:"
+                        "183-193; SURVEY §5 tracing plan)")
     p.add_argument("--reorder", choices=["rcm"], default=None,
                    help="bandwidth-reducing symmetric reordering before the "
                         "solve (routes general matrices onto the banded "
@@ -83,6 +89,19 @@ def _setup(args):
     return coo
 
 
+def _profile_ctx(args):
+    """jax.profiler.trace(DIR) context when --profile is given, else a
+    no-op — wraps the benchmarked solve so the trace holds the device
+    timeline, not matrix parsing."""
+    import contextlib
+
+    if getattr(args, "profile", None):
+        import jax
+
+        return jax.profiler.trace(args.profile)
+    return contextlib.nullcontext()
+
+
 def _emit(records, args) -> None:
     from sparseharness_tpu.harness import write_records
 
@@ -99,9 +118,105 @@ def _emit(records, args) -> None:
                 f.close()
 
 
+def _sharded_spmv_main(args, coo) -> int:
+    """--mesh N one-shot SpMV: rows sharded over the mesh, x all-gathered
+    (parallel.sharded.sharded_spmv), gold-checked, chained two-point
+    timing, records tagged ``sharded{N}:ell`` (VERDICT r3 weak #1: the
+    documented flag was silently ignored here; the reference honors its
+    device selection, inc/common.h:9-12)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from sparseharness_tpu.gold import (
+        Correctness, check_result, spmv_abs_bound, spmv_gold,
+    )
+    from sparseharness_tpu.harness.stats import (
+        BenchRecord, Statistic, median_record,
+    )
+    from sparseharness_tpu.parallel import make_mesh
+    from sparseharness_tpu.parallel.sharded import (
+        build_sharded_ell, sharded_spmv,
+    )
+    from sparseharness_tpu.semiring import PLUS_TIMES
+
+    sr = PLUS_TIMES
+    mesh = make_mesh(args.mesh)
+    D = int(mesh.devices.size)
+    n = coo.shape[0]
+    op, _chunk = build_sharded_ell(coo, sr, D)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0.2, 1.0, coo.shape[1]).astype(np.float32)
+    kernel = f"sharded{D}:ell"
+
+    out = np.asarray(sharded_spmv(mesh, op, jnp.asarray(x), sr, n_rows=n))
+    correctness = Correctness.NOT_CHECKED
+    if not args.no_gold:
+        gold = spmv_gold(coo, x, np.zeros(n, np.float32), sr)
+        correctness = check_result(out, gold, delta=args.delta,
+                                   scale=spmv_abs_bound(coo, x))
+        print(f"{kernel}: gold {correctness.value}")
+
+    # chained two-point clock (square operands): per-op = (t_2K−t_K)/K on
+    # min walls — single-dispatch walls measure the RPC floor on the
+    # tunneled TPU backend (CLAUDE.md gotchas)
+    square = coo.shape[1] == n
+    k = 32 if jax.default_backend() == "tpu" else 2
+
+    def chained(kk):
+        def f(xc):
+            def body(c, _):
+                return sharded_spmv(mesh, op, c, sr, n_rows=n)[:n], None
+            outx, _ = jax.lax.scan(body, xc, None, length=kk)
+            return outx
+        return jax.jit(f)
+
+    records = []
+    if square:
+        f1, f2 = chained(k), chained(2 * k)
+        xj = jnp.asarray(x)
+        np.asarray(f1(xj).ravel()[:1]); np.asarray(f2(xj).ravel()[:1])
+        w1, w2 = [], []
+        for _ in range(max(args.trials, 1)):
+            t0 = time.perf_counter()
+            np.asarray(f1(xj).ravel()[:1])
+            w1.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(f2(xj).ravel()[:1])
+            w2.append(time.perf_counter() - t0)
+        per_op = max((min(w2) - min(w1)) / k, 1e-9)
+    else:
+        t0 = time.perf_counter()
+        np.asarray(sharded_spmv(mesh, op, jnp.asarray(x), sr, n_rows=n))
+        per_op = time.perf_counter() - t0
+    records.append(BenchRecord(
+        time_ns=per_op * 1e9, correctness=correctness, kernel=kernel,
+        geometry=f"mesh{D}", trial=0, iteration=0,
+        statistic=Statistic.RAW_RESULT,
+        matrix=args.matrix_name or args.matrix,
+        experiment_id=args.experiment_id, nnz=coo.nnz,
+    ).finalize())
+    med = median_record(records)
+    if med is not None:
+        records.append(med)
+    gnnz = coo.nnz / per_op / 1e9
+    print(f"{kernel}: {per_op*1e3:.3f} ms/op  {gnnz:.3f} Gnnz/s  "
+          f"{correctness.value}")
+    _emit(records, args)
+    return 0 if correctness.value in ("correct", "not_checked") else 1
+
+
 def spmv_main(argv: Optional[list] = None) -> int:
-    args = _common_parser("semiring SpMV benchmark (app/spmv.cpp)").parse_args(argv)
+    p = _common_parser("semiring SpMV benchmark (app/spmv.cpp)")
+    args = p.parse_args(argv)
     coo = _setup(args)
+    if args.mesh > 1:
+        if args.sweep or args.runfile:
+            p.error("--mesh does not compose with --sweep/--runfile")
+        if args.reorder:
+            p.error("--mesh does not compose with --reorder for spmv")
+        return _sharded_spmv_main(args, coo)
     if args.reorder:
         # benchmark P·A·Pᵀ: problem, gold, and sweep all live in permuted
         # space, so correctness checks are unchanged; the point is the
@@ -129,10 +244,11 @@ def spmv_main(argv: Optional[list] = None) -> int:
             load_runfile(args.runfile, args.kernel) if args.runfile
             else default_sweep()
         )
-        results = run_sweep(
-            {args.matrix_name or args.matrix: coo}, points, config=config,
-            check_gold=not args.no_gold,
-        )
+        with _profile_ctx(args):
+            results = run_sweep(
+                {args.matrix_name or args.matrix: coo}, points, config=config,
+                check_gold=not args.no_gold,
+            )
         for mname, per_point in results.items():
             for pname, res in per_point.items():
                 print(f"{mname} {pname}: {res.summary()}")
@@ -151,10 +267,12 @@ def spmv_main(argv: Optional[list] = None) -> int:
     if not args.no_gold:
         gold = spmv_gold(coo, np.asarray(prob.x0), np.asarray(prob.y), PLUS_TIMES)
         scale = spmv_abs_bound(coo, np.asarray(prob.x0))
-    res = benchmark_spmv(
-        prob, gold=gold, config=config, matrix_name=args.matrix_name or args.matrix, nnz=coo.nnz,
-        gold_scale=scale,
-    )
+    with _profile_ctx(args):
+        res = benchmark_spmv(
+            prob, gold=gold, config=config,
+            matrix_name=args.matrix_name or args.matrix, nnz=coo.nnz,
+            gold_scale=scale,
+        )
     print(res.summary())
     _emit(res.records, args)
     return 0 if res.correctness.value in ("correct", "not_checked") else 1
@@ -237,12 +355,14 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
             held["res"] = solver()
             return held["res"]
 
-        res = benchmark_fixpoint(
-            _solve_frontier,
-            gold=gold, config=config, matrix_name=args.matrix_name or args.matrix,
-            kernel_name=f"{kernel_name}:frontier{args.mesh}", nnz=coo.nnz,
-            exact=exact,
-        )
+        with _profile_ctx(args):
+            res = benchmark_fixpoint(
+                _solve_frontier,
+                gold=gold, config=config,
+                matrix_name=args.matrix_name or args.matrix,
+                kernel_name=f"{kernel_name}:frontier{args.mesh}", nnz=coo.nnz,
+                exact=exact,
+            )
         fr = held["res"]
         # the measured exchange saving rides into every JSONL row
         for r in res.records:
@@ -267,14 +387,16 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
         from sparseharness_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.mesh)
-        res = benchmark_fixpoint(
-            sharded_solve(coo, args, mesh),
-            gold=gold, config=config, matrix_name=args.matrix_name or args.matrix,
-            kernel_name=(f"{kernel_name}:sharded{args.mesh}:"
-                         f"{getattr(args, 'sharded_mode', 'auto')}"),
-            nnz=coo.nnz,
-            exact=exact,
-        )
+        with _profile_ctx(args):
+            res = benchmark_fixpoint(
+                sharded_solve(coo, args, mesh),
+                gold=gold, config=config,
+                matrix_name=args.matrix_name or args.matrix,
+                kernel_name=(f"{kernel_name}:sharded{args.mesh}:"
+                             f"{getattr(args, 'sharded_mode', 'auto')}"),
+                nnz=coo.nnz,
+                exact=exact,
+            )
     elif args.stepped and algo is not None:
         from sparseharness_tpu.algorithms.apps import fixpoint_components
 
@@ -282,17 +404,21 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
             algo, coo, root=getattr(args, "root", 0), variant=args.kernel,
             max_iter=args.max_iter, reorder=args.reorder,
         )
-        res = benchmark_fixpoint_stepped(
-            comp, gold=gold, config=config, matrix_name=args.matrix_name or args.matrix,
-            kernel_name=f"{kernel_name}:{args.kernel}", exact=exact,
-        )
+        with _profile_ctx(args):
+            res = benchmark_fixpoint_stepped(
+                comp, gold=gold, config=config,
+                matrix_name=args.matrix_name or args.matrix,
+                kernel_name=f"{kernel_name}:{args.kernel}", exact=exact,
+            )
     else:
-        res = benchmark_fixpoint(
-            solve(coo, args),
-            gold=gold, config=config, matrix_name=args.matrix_name or args.matrix,
-            kernel_name=f"{kernel_name}:{args.kernel}", nnz=coo.nnz,
-            exact=exact,
-        )
+        with _profile_ctx(args):
+            res = benchmark_fixpoint(
+                solve(coo, args),
+                gold=gold, config=config,
+                matrix_name=args.matrix_name or args.matrix,
+                kernel_name=f"{kernel_name}:{args.kernel}", nnz=coo.nnz,
+                exact=exact,
+            )
     print(f"{res.summary()} | {res.iterations} iterations")
     _emit(res.records, args)
     return 0 if res.correctness.value in ("correct", "not_checked") else 1

@@ -310,21 +310,39 @@ def benchmark_fixpoint_stepped(
     MULTI_ITERATION_SUM per trial — the reference's exact record shape
     (app/sssp.cpp:122-126, :73-85). Slower than the fused while_loop solve
     (per-iteration host sync); use when per-iteration times matter."""
-    from sparseharness_tpu.algorithms.fixpoint import run_fixpoint_stepped
+    from sparseharness_tpu.algorithms.fixpoint import (
+        make_stepped_step, run_fixpoint_stepped,
+    )
 
     records: List[BenchRecord] = []
     correctness = Correctness.NOT_CHECKED
     total_iters = 0
+    # one compiled step shared by every trial's generator, and one untimed
+    # warmup call: the reference compiles in its ctor (inc/harness.h:68),
+    # so the first RAW_RESULT row must not be compile time (VERDICT r3
+    # next #10)
+    one_step = make_stepped_step(components.step, components.convergence)
+    with ScopedTimer("compile", "benchmark_fixpoint_stepped"):
+        for _ in run_fixpoint_stepped(
+            components.step, components.x0,
+            convergence=components.convergence, max_iter=1,
+            compiled_step=one_step,
+        ):
+            break
+    timeout = config.timeout_s
     for trial in range(config.trials):
         t_total = 0.0
         it = 0
         x = None
+        conv = False
+        timed_out = False
         gen = run_fixpoint_stepped(
             components.step, components.x0,
             convergence=components.convergence, max_iter=components.limit,
+            compiled_step=one_step,
         )
         t_prev = time.perf_counter()
-        for x, it, _conv in gen:
+        for x, it, conv in gen:
             now = time.perf_counter()
             dt = now - t_prev
             t_prev = now
@@ -338,7 +356,27 @@ def benchmark_fixpoint_stepped(
                     device=_device_name(),
                 )
             )
+            # wall-clock cap mid-trial: a non-converging stepped run must
+            # not walk all max_iter iterations x trials (the reference
+            # breaks its trial loop on breach, app/spmv.cpp:74-79;
+            # VERDICT r3 missing #2)
+            if t_total > timeout:
+                timed_out = True
+                log.info("stepped trial %d exceeded timeout %.3fs at "
+                         "iteration %d; stopping", trial, timeout, it)
+                break
         total_iters = it
+        # liveness (assertBuffersNotEqual analogue, inc/opencl_utils.h:
+        # 247-258; VERDICT r3 missing #1): instant convergence with the
+        # vector unchanged means the step almost certainly did nothing
+        if (conv and it <= 1 and x is not None
+                and np.array_equal(np.asarray(x),
+                                   np.asarray(components.x0))):
+            log.warning("kernel has probably failed: converged at "
+                        "iteration %d with x unchanged from x0", it)
+        # lowerTimeout ratchet across trials (inc/harness.h:87-98)
+        if config.adaptive_timeout and not timed_out:
+            timeout = min(timeout, max(2.0 * t_total, 1e-3))
         if trial == 0 and gold is not None and x is not None:
             final = np.asarray(x)
             if getattr(components, "unpermute", None) is not None:
@@ -354,6 +392,10 @@ def benchmark_fixpoint_stepped(
                 experiment_id=config.experiment_id, device=_device_name(),
             )
         )
+        if timed_out:
+            # every later trial would hit the same cap at the same
+            # iteration; the reference stops its trial loop on breach
+            break
     sums = sorted(
         r.time_ns for r in records
         if r.statistic is Statistic.MULTI_ITERATION_SUM
@@ -375,17 +417,32 @@ def benchmark_fixpoint(
     kernel_name: str = "fixpoint",
     nnz: int = 0,
     exact: bool = False,
+    x0: Optional[np.ndarray] = None,
 ) -> BenchmarkResult:
     """Benchmark a whole iterate-to-fixpoint solve (IterativeHarness
     semantics, inc/harness.h:441): each trial runs the full fixpoint;
     the MULTI_ITERATION_SUM row records total solve time
     (app/sssp.cpp:73-85), and per-iteration throughput derives from the
-    on-device iteration counter."""
+    on-device iteration counter.
+
+    ``x0``: when given, enables the per-solve liveness check — instant
+    convergence with the vector unchanged from x0 means the step almost
+    certainly did nothing (assertBuffersNotEqual,
+    inc/opencl_utils.h:247-258; VERDICT r3 missing #1)."""
     with ScopedTimer("compile", "benchmark_fixpoint"):
         res = solve_fn()
         _sync(res)
     iters = int(res.iterations)
     out = np.asarray(res.x)
+    converged = bool(np.asarray(res.converged)) if hasattr(
+        res, "converged") else True
+    if not converged:
+        log.warning("fixpoint unconverged after %d iterations (max_iter "
+                    "reached)", iters)
+    if (converged and iters <= 1 and x0 is not None
+            and out.shape == np.shape(x0) and np.array_equal(out, x0)):
+        log.warning("kernel has probably failed: converged at iteration "
+                    "%d with x unchanged from x0", iters)
     correctness = (
         check_result(out, gold, delta=config.delta, exact=exact)
         if gold is not None else Correctness.NOT_CHECKED
