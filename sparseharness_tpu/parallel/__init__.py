@@ -1,6 +1,7 @@
 from sparseharness_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     device_count,
+    init_distributed,
 )
 from sparseharness_tpu.parallel.sharded import (  # noqa: F401
     ShardedEll,
