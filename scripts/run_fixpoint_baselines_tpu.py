@@ -80,16 +80,19 @@ def main() -> int:
         s1, s2 = make_solver(k1), make_solver(k2)
         r1 = sync(s1())            # compile + warm both cap programs
         r2 = sync(s2())
-        diffs, walls = [], []
+        # min-wall two-point: min over trials of each cap's solve wall,
+        # ONE difference — the clock the r3 audit standardized on
+        # (memory: tpu-clock-traps; ADVICE r3: median-of-paired-diffs
+        # re-admits the ±40% rank-pairing jitter this repo already hit)
+        w1, w2 = [], []
         for _ in range(3):
             t0 = time.perf_counter()
             sync(s1())
-            t1 = time.perf_counter()
+            w1.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
             r2 = sync(s2())
-            t2 = time.perf_counter()
-            diffs.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
-            walls.append(t2 - t1)
-        per = float(np.median(diffs))
+            w2.append(time.perf_counter() - t0)
+        per = (min(w2) - min(w1)) / (k2 - k1)
         capped_ok = int(r1.iterations) == k1 and int(r2.iterations) == k2
         nnz_eff = g.nnz if nnz is None else nnz
         out["solves"][name] = {
@@ -98,7 +101,7 @@ def main() -> int:
             "iters_per_s": round(1.0 / per, 2) if per > 0 else 0.0,
             "effective_gnnz_per_s": round(nnz_eff / per / 1e9, 3)
             if per > 0 else 0.0,
-            "dispatch_wall_s_k2": round(float(np.median(walls)), 4),
+            "dispatch_wall_s_k2": round(float(min(w2)), 4),
             "note": "dispatch_wall includes the axon RPC/transfer floor; "
                     "ms_per_iter is the two-point differential",
         }

@@ -152,6 +152,7 @@ def main() -> int:
             "exchanged_bytes": res_f.exchanged_bytes(),
             "allgather_bytes": res_f.allgather_bytes(n),
             "dense_fallbacks": res_f.dense_fallbacks,
+            "dense_phase_iters": res_f.dense_phase_iters,
         },
     }
     print(json.dumps(out, indent=1))

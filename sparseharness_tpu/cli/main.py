@@ -373,13 +373,15 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
                 "exchanged_bytes": fr.exchanged_bytes(),
                 "allgather_bytes": fr.allgather_bytes(coo.shape[0]),
                 "dense_fallbacks": fr.dense_fallbacks,
+                "dense_phase_iters": fr.dense_phase_iters,
                 "budget": args.budget,
             }
         print(
             f"frontier[{fr.local}]: {fr.sent_entries} entries "
             f"({fr.exchanged_bytes()} B) exchanged vs "
             f"{fr.allgather_bytes(coo.shape[0])} B all-gather; "
-            f"{fr.dense_fallbacks} dense fallbacks"
+            f"{fr.dense_phase_iters} dense-phase iters, "
+            f"{fr.dense_fallbacks} post-switch fallbacks"
         )
     elif args.mesh > 1:
         if sharded_solve is None:

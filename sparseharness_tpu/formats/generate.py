@@ -110,7 +110,12 @@ def chained_power_law_coo(
     with ``clusters``. The long-diameter benchmark shape: BFS/SSSP run
     O(clusters) iterations with cluster-sized frontiers, so iteration-
     capped two-point timing has caps that bind (a flat zipf blob
-    converges in a handful of sweeps)."""
+    converges in a handful of sweeps).
+
+    The returned order is ``clusters * max(n // clusters, 2)`` — smaller
+    than ``n`` when ``n`` is not divisible by ``clusters`` and larger
+    when ``n < 2 * clusters`` (every cluster holds at least 2 nodes so
+    the bridge edges exist); read the size off ``.shape``, not ``n``."""
     rng = np.random.default_rng(seed)
     m = max(n // clusters, 2)
     sub = power_law_coo(m, int(nnz_per_node * m), alpha=alpha, seed=seed + 1)

@@ -146,8 +146,15 @@ def test_chained_power_law_coo():
     from sparseharness_tpu.gold.algorithms import bfs_levels_gold
 
     g = chained_power_law_coo(1 << 12, 8, seed=23)
-    n = g.shape[0]
-    assert g.shape == (n, n) and g.nnz > 0
+    # documented order: clusters * max(n // clusters, 2) (ADVICE r3: the
+    # old shape assertion was tautological)
+    assert g.shape == (8 * ((1 << 12) // 8), 8 * ((1 << 12) // 8))
+    assert g.nnz > 0
+    # non-divisible and tiny-n cases follow the same formula
+    g2 = chained_power_law_coo(1001, 8, seed=23)
+    assert g2.shape[0] == 8 * (1001 // 8)
+    g3 = chained_power_law_coo(4, 8, seed=23)
+    assert g3.shape[0] == 16
     # bridges make the cluster chain traversable and the diameter scale
     # with the cluster count: BFS from 0 needs more levels than clusters
     levels = bfs_levels_gold(g, 0)

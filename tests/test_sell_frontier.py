@@ -189,6 +189,23 @@ def test_frontier_budget_overflow_falls_back_dense(mesh):
 
 
 @mesh_mark
+def test_frontier_dense_phase_switch(mesh):
+    """Early oversized frontiers ride the deliberate dense phase (counted
+    as dense_phase_iters, not fallbacks); the sticky switch lands sparse
+    exchange once every shard's frontier fits the budget and the result
+    still matches gold (VERDICT r3 next #4)."""
+    from sparseharness_tpu.formats import chained_power_law_coo
+    from sparseharness_tpu.parallel import frontier_sssp
+
+    g = chained_power_law_coo(4096, clusters=16, seed=17)
+    res = frontier_sssp(g, root=0, mesh=mesh, budget=96)
+    assert np.allclose(np.asarray(res.x), sssp_gold(g, 0), rtol=1e-5)
+    assert res.dense_phase_iters >= 1
+    assert res.iterations > res.dense_phase_iters  # sparse phase reached
+    assert res.sent_entries > 0
+
+
+@mesh_mark
 def test_frontier_local_compute_is_sell(mesh):
     """VERDICT r2 weak #2: the frontier path's local compute must be the
     Pallas sell2 kernel (not the scalar-gather ELL dp) whenever the
