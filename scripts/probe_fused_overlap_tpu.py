@@ -133,8 +133,10 @@ def main():
         return (min(w2) - min(w1)) / (k2 - k1)
 
     report = {"backend": jax.default_backend()}
-    n = 262_144
-    gb = block_random_coo(n, blocks_per_row=16, bm=8, bn=128, seed=5)
+    n = 131_072
+    # 2 dense (8,128) blocks per block-row = 33.5M nnz: big enough that
+    # the strip stream dwarfs dispatch, small enough to build host-side
+    gb = block_random_coo(n, blocks_per_row=2, bm=8, bn=128, seed=5)
     zipf = fold_duplicates(
         power_law_coo(500_000, 2_000_000, alpha=1.5, seed=13),
         lambda a, b: a + b)
