@@ -114,22 +114,27 @@ def main():
         _, outs = jax.lax.scan(body, None, (op.cols, op.strips))
         return outs.reshape(-1)
 
-    def chain_time(fn, x, k1=32, k2=64, trials=5):
+    def chain_time(fn, x, op, k1=32, k2=64, trials=5):
+        # op rides as a jit ARGUMENT: closed-over operands embed as HLO
+        # constants and a ≥400 MB operand blows the remote compile
+        # service's request-size limit (HTTP 413)
         def chained(kk):
-            def f(xc):
+            def f(xc, opx):
                 def body(c, _):
-                    return fn(c), None
+                    return fn(c, opx), None
                 out, _ = jax.lax.scan(body, xc, None, length=kk)
                 return out
             return jax.jit(f)
         f1, f2 = chained(k1), chained(k2)
-        np.asarray(f1(x).ravel()[:1]); np.asarray(f2(x).ravel()[:1])
+        np.asarray(f1(x, op).ravel()[:1]); np.asarray(f2(x, op).ravel()[:1])
         w1, w2 = [], []
         for _ in range(trials):
             t0 = time.perf_counter()
-            np.asarray(f1(x).ravel()[:1]); w1.append(time.perf_counter() - t0)
+            np.asarray(f1(x, op).ravel()[:1])
+            w1.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            np.asarray(f2(x).ravel()[:1]); w2.append(time.perf_counter() - t0)
+            np.asarray(f2(x, op).ravel()[:1])
+            w2.append(time.perf_counter() - t0)
         return (min(w2) - min(w1)) / (k2 - k1)
 
     report = {"backend": jax.default_backend()}
@@ -149,7 +154,8 @@ def main():
 
     stage = {}
     for mode in ("full", "mult", "gather"):
-        t = chain_time(lambda c, m=mode: dp_fused_mode(opf, c, m)[:n], xb)
+        t = chain_time(lambda c, o, m=mode: dp_fused_mode(o, c, m)[:n],
+                       xb, opf)
         stage[mode] = t
         print(f"bsr_fused[{mode}]: {t*1e6:.1f} us/op "
               f"{gb.nnz/t/1e9:.2f} Gnnz/s", flush=True)
@@ -162,6 +168,8 @@ def main():
     print(f"full {stage['full']*1e6:.1f} vs gather+mult "
           f"{serial_sum*1e6:.1f} us -> structural={report['structural']}",
           flush=True)
+    with open("results/fused_overlap_probe_tpu.json", "w") as fj:
+        json.dump(report, fj, indent=1)
 
     # routing crossover: bsr_fused vs sell2 (+ bsr_ell) on both structures
     report["routing"] = {}
@@ -170,24 +178,27 @@ def main():
                              rng.uniform(0.1, 1.0, zipf.shape[0])
                              .astype(np.float32)))):
         row = {}
+        nr = coo.shape[0]
         for variant, dp in (
-            ("bsr_fused", lambda op, c: dp_fused_mode(op, c, "full")),
-            ("sell2", lambda op, c: dp_sell2(op, c, sr,
-                                             n_rows=coo.shape[0])),
-            ("bsr_ell", lambda op, c: dp_bsr_ell(op, c, sr,
-                                                 n_rows=coo.shape[0])),
+            ("bsr_fused", lambda op, c, nr=nr: dp_fused_mode(op, c, "full")),
+            ("sell2", lambda op, c, nr=nr: dp_sell2(op, c, sr, n_rows=nr)),
+            ("bsr_ell", lambda op, c, nr=nr: dp_bsr_ell(op, c, sr,
+                                                        n_rows=nr)),
         ):
             try:
                 op = (build_bsr_fused(coo, sr) if variant == "bsr_fused"
                       else build_operand(coo, sr, variant, Geometry()))
                 t = chain_time(
-                    lambda c, op=op, dp=dp: dp(op, c)[:coo.shape[0]], x)
+                    lambda c, o, dp=dp, nr=nr: dp(o, c)[:nr], x, op)
                 row[variant] = {"us_per_op": round(t * 1e6, 1),
                                 "gnnz_per_s": round(coo.nnz / t / 1e9, 3)}
-            except (NotImplementedError, MemoryError) as e:
-                row[variant] = {"skipped": str(e)[:120]}
+            except Exception as e:   # capability guards + runtime limits
+                row[variant] = {"skipped": f"{type(e).__name__}: "
+                                           f"{str(e)[:120]}"}
             print(f"{name}/{variant}: {row[variant]}", flush=True)
         report["routing"][name] = row
+        with open("results/fused_overlap_probe_tpu.json", "w") as fj:
+            json.dump(report, fj, indent=1)
 
     with open("results/fused_overlap_probe_tpu.json", "w") as f:
         json.dump(report, f, indent=1)
