@@ -95,7 +95,11 @@ def main():
     # ---- throughput: zipf α=1.5, ≥1M nnz --------------------------------
     big = power_law_coo(500_000, 2_000_000, alpha=1.5, seed=13)
     print(f"zipf matrix: n={big.shape[0]} nnz={big.nnz}", flush=True)
-    cfg = BenchmarkConfig(trials=5, inner_iters=32)
+    # inner_iters=1 → the runner sizes the chain to the operand
+    # (_effective_inner_iters): the capped matrices need K≈128 for the
+    # two-point signal to dwarf axon jitter — a fixed K=32 put the r3/r4
+    # cap rows within the ~ms dispatch noise (±40% round-to-round)
+    cfg = BenchmarkConfig(trials=5)
     for variant, geom in (
         ("sell2", Geometry()),
         ("sell2", Geometry(value_dtype="bfloat16")),
