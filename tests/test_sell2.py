@@ -159,3 +159,33 @@ def test_virtual_chunks_off_for_local_structure():
     sr = get_semiring("plus_times")
     op = build_sell2(coo, sr)
     assert op.virt_blocks is None
+
+
+def test_twoshelf_pack_invariants():
+    """The r4 packer's contract: every pile entry gets a distinct
+    (sublane, lane) cell, piles live inside their block's own-shelf
+    interval (binding == block), and no sublane carries more than the
+    two bindings the kernel's blk0/blk1 fields can express."""
+    from sparseharness_tpu.ops.pallas_sell2 import _twoshelf_pack
+
+    rng = np.random.default_rng(0)
+    cnt = np.zeros((48, 128), np.int64)
+    for b in range(40):     # mixed spectrum: mid blocks + singleton tail
+        lanes = rng.choice(128, int(rng.integers(1, 30)), replace=False)
+        cnt[b, lanes] = rng.integers(1, 8, lanes.size)
+    for b in range(40, 48):
+        cnt[b, rng.integers(0, 128)] = 1
+    n_sub, b0, b1, way, placements = _twoshelf_pack(cnt)
+    occ = np.zeros((n_sub, 128), bool)
+    placed = np.zeros_like(cnt)
+    for lb, l, rows in placements:
+        rows = np.asarray(rows)
+        assert len(rows) == cnt[lb, l]
+        assert not occ[rows, l].any(), "cell collision"
+        occ[rows, l] = True
+        placed[lb, l] += len(rows)
+        binding = (b0 if way[lb] == 0 else b1)[rows]
+        assert (binding == lb).all(), "pile outside its interval"
+    assert (placed == cnt).all(), "entries lost or duplicated"
+    # the packer beats naive per-block stacking (sum of demands)
+    assert n_sub < int(cnt.max(axis=1).sum())
