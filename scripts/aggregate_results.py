@@ -52,13 +52,22 @@ def main() -> int:
         by_matrix[r["matrix"]].append(r)
 
     print(f"{'matrix':28s} {'best kernel':28s} {'ms':>9s} {'Gnnz/s':>8s} {'roofline':>9s}")
+    sub_jitter = False
     for m, rs in sorted(by_matrix.items()):
         best = min(rs, key=lambda r: r["time_ns"])
+        # a frac past the ceiling means the two-point diff collapsed below
+        # the dispatch jitter (tiny reference matrices run in ≪1 µs; the
+        # chained clock cannot resolve them) — flag, don't hide
+        mark = " *" if best["roofline_frac"] > 1.2 else ""
+        sub_jitter = sub_jitter or bool(mark)
         print(
             f"{m:28s} {best['kernel'] + '@' + best['geometry']:28s} "
             f"{best['time_ns'] / 1e6:9.3f} {best['gnnz_per_s']:8.2f} "
-            f"{best['roofline_frac'] * 100:8.1f}%"
+            f"{best['roofline_frac'] * 100:8.1f}%{mark}"
         )
+    if sub_jitter:
+        print("  * two-point diff below dispatch jitter: per-op time for "
+              "this tiny matrix is unresolved (upper bound only)")
 
     # correctness tally — the all_kernel_test.sh failure count analogue
     tally = collections.Counter(r["correctness"] for r in records)
