@@ -352,4 +352,129 @@ void fastmtx_rcm(int32_t n, const int32_t *indptr, const int32_t *indices,
   for (int32_t i = 0; i < n; ++i) perm[i] = order[n - 1 - i];
 }
 
+// Two-shelf interval packer for the sell2 builder — the native
+// counterpart of ops/pallas_sell2.py:_twoshelf_pack, bit-identical by
+// construction (same stable demand-desc order, hole policy, first-free
+// ascending pile placement) so the Python and native paths produce the
+// same layout. The packer is ~58% of sell2 build time in NumPy; the
+// encode path is the reference's native layer (src/sparse_matrix.cpp
+// cl_encode), so it is native here too.
+//
+// cnt:      nb x 128 per-(block, row-lane) pile heights, row-major
+// bind0/1:  cap entries (cap = sum(max-lane demand) + max_push + 1),
+//           per-sublane block id per shelf, -1 = uncovered
+// way:      nb, shelf bit per block
+// flat_sub: sum(cnt) sublane ids in (block, lane, pile-pos) order
+// returns n_sub (sublanes used)
+void sell2_twoshelf_pack(const int64_t *cnt, int64_t nb, int64_t max_push,
+                         int64_t max_holes, int64_t hole_tries,
+                         int64_t *bind0, int64_t *bind1, int8_t *way,
+                         int64_t *flat_sub, int64_t *n_sub_out) {
+  const int L = 128;
+  std::vector<int64_t> demand(nb);
+  int64_t dsum = 0;
+  for (int64_t b = 0; b < nb; ++b) {
+    int64_t d = 0;
+    for (int l = 0; l < L; ++l) d = std::max(d, cnt[b * L + l]);
+    demand[b] = d;
+    dsum += d;
+  }
+  std::vector<int64_t> order;
+  order.reserve(nb);
+  for (int64_t b = 0; b < nb; ++b)
+    if (demand[b] > 0) order.push_back(b);
+  std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    return demand[a] > demand[b];
+  });
+  const int64_t cap = dsum + max_push + 1;
+  std::vector<uint8_t> occ((size_t)cap * L, 0);
+  std::fill(bind0, bind0 + cap, (int64_t)-1);
+  std::fill(bind1, bind1 + cap, (int64_t)-1);
+  std::fill(way, way + nb, (int8_t)0);
+  std::vector<int64_t> pstart((size_t)nb * L + 1, 0);
+  for (int64_t i = 0; i < nb * L; ++i) pstart[i + 1] = pstart[i] + cnt[i];
+
+  auto fits = [&](int64_t o, int64_t d, const int64_t *h) {
+    for (int l = 0; l < L; ++l) {
+      if (!h[l]) continue;
+      int64_t freec = 0;
+      for (int64_t r = 0; r < d && freec < h[l]; ++r)
+        freec += !occ[(size_t)(o + r) * L + l];
+      if (freec < h[l]) return false;
+    }
+    return true;
+  };
+  auto place = [&](int64_t bi, int sh, int64_t o, int64_t d) {
+    const int64_t *h = cnt + bi * L;
+    for (int l = 0; l < L; ++l) {
+      int64_t need = h[l];
+      if (!need) continue;
+      int64_t *dst = flat_sub + pstart[bi * L + l];
+      for (int64_t r = 0; r < d && need; ++r) {
+        uint8_t &c = occ[(size_t)(o + r) * L + l];
+        if (!c) {
+          c = 1;
+          *dst++ = o + r;
+          --need;
+        }
+      }
+    }
+    int64_t *bd = sh == 0 ? bind0 : bind1;
+    for (int64_t r = o; r < o + d; ++r) bd[r] = bi;
+    way[bi] = (int8_t)sh;
+  };
+
+  int64_t frontier[2] = {0, 0};
+  std::vector<std::pair<int64_t, int64_t>> holes[2];
+  for (int64_t bi : order) {
+    const int64_t *h = cnt + bi * L;
+    const int64_t d = demand[bi];
+    bool placed = false;
+    for (int sh = 0; sh < 2 && !placed; ++sh) {
+      auto &hl = holes[sh];
+      for (size_t k = 0; k < hl.size(); ++k) {
+        const int64_t h0 = hl[k].first, h1 = hl[k].second;
+        if (h1 - h0 < d) continue;
+        int64_t o = h0, tries = 0;
+        bool found = false;
+        while (o + d <= h1 && tries < hole_tries) {
+          if (fits(o, d, h)) {
+            found = true;
+            break;
+          }
+          ++o;
+          ++tries;
+        }
+        if (!found) continue;
+        place(bi, sh, o, d);
+        std::vector<std::pair<int64_t, int64_t>> repl;
+        if (o > h0) repl.push_back({h0, o});
+        if (o + d < h1) repl.push_back({o + d, h1});
+        hl.erase(hl.begin() + k);
+        hl.insert(hl.begin() + k, repl.begin(), repl.end());
+        placed = true;
+        break;
+      }
+    }
+    if (placed) continue;
+    const int sh = frontier[0] <= frontier[1] ? 0 : 1;
+    int64_t o = frontier[sh], pushes = 0;
+    bool found = false;
+    while (pushes < max_push) {
+      if (fits(o, d, h)) {
+        found = true;
+        break;
+      }
+      ++o;
+      ++pushes;
+    }
+    if (!found) o = std::max(frontier[0], frontier[1]);
+    if (o > frontier[sh] && (int64_t)holes[sh].size() < max_holes)
+      holes[sh].push_back({frontier[sh], o});
+    place(bi, sh, o, d);
+    frontier[sh] = o + d;
+  }
+  *n_sub_out = std::max(frontier[0], frontier[1]);
+}
+
 }  // extern "C"

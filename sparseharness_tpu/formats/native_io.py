@@ -95,6 +95,14 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.sell2_twoshelf_pack.restype = None
+    lib.sell2_twoshelf_pack.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
 
 
 def available() -> bool:
@@ -220,3 +228,34 @@ def rcm_from_coo(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     """Whole-RCM fast path: native symmetrization + native traversal."""
     indptr, indices = sym_pattern(n, rows, cols)
     return rcm(indptr, indices)
+
+
+def sell2_pack(cnt: np.ndarray, max_push: int, max_holes: int,
+               hole_tries: int):
+    """Native two-shelf packer (ops/pallas_sell2._twoshelf_pack contract):
+    returns (n_sub, bind0, bind1, way, flat_sub). Bit-identical to the
+    NumPy path by construction; raises NativeUnavailable on any failure
+    (caller falls back)."""
+    lib = _load()
+    cnt = np.ascontiguousarray(cnt, dtype=np.int64)
+    nb = cnt.shape[0]
+    demand_sum = int(cnt.max(axis=1).sum()) if nb else 0
+    cap = demand_sum + max_push + 1
+    bind0 = np.empty(cap, np.int64)
+    bind1 = np.empty(cap, np.int64)
+    way = np.empty(max(nb, 1), np.int8)
+    flat = np.empty(max(int(cnt.sum()), 1), np.int64)
+    n_sub = np.zeros(1, np.int64)
+    lib.sell2_twoshelf_pack(
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(nb),
+        ctypes.c_int64(max_push), ctypes.c_int64(max_holes),
+        ctypes.c_int64(hole_tries),
+        bind0.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bind1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        way.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    ns = int(n_sub[0])
+    return ns, bind0[:ns], bind1[:ns], way[:nb], flat[: int(cnt.sum())]

@@ -215,11 +215,27 @@ def _twoshelf_pack(cnt: np.ndarray):
     ~1.89 slots/nnz against the Σdemand/2 two-binding floor of 1.53
     (scripts/probe_sell2_{density,shelves}.py).
 
-    Returns ``(n_sub, bind0, bind1, way, placements)``: per-sublane local
-    block ids per shelf (−1 = uncovered), per-block shelf bit, and a list
-    of ``(local_block, lane, sublane_ids)`` pile placements covering
-    every entry (len(sublane_ids) = cnt[b, lane], pile order).
+    Returns ``(n_sub, bind0, bind1, way, flat_sub)``: per-sublane local
+    block ids per shelf (−1 = uncovered), per-block shelf bit, and the
+    per-entry sublane ids in (block, lane, pile-pos) order — aligned to
+    the exclusive cumsum of ``cnt`` flattened row-major.
+
+    The hot path is `native/fast_mtx.cpp:sell2_twoshelf_pack` (the encode
+    layer is native in the reference too, src/sparse_matrix.cpp
+    cl_encode); it is bit-identical to the NumPy fallback below by
+    construction (same stable order, hole policy, first-free ascending
+    placement — tests/test_native.py asserts equality).
     """
+    import os
+
+    if os.environ.get("SPARSEHARNESS_TPU_NATIVE", "1") != "0":
+        try:
+            from sparseharness_tpu.formats import native_io
+
+            return native_io.sell2_pack(
+                cnt, SHELF_MAX_PUSH, SHELF_MAX_HOLES, SHELF_HOLE_TRIES)
+        except Exception:
+            pass    # toolchain unavailable: NumPy fallback below
     demand = cnt.max(axis=1)
     order = np.argsort(-demand, kind="stable")
     order = order[demand[order] > 0]
@@ -289,7 +305,13 @@ def _twoshelf_pack(cnt: np.ndarray):
         place(bi, sh, o, d, h)
         frontier[sh] = o + d
     n_sub = max(frontier)
-    return n_sub, bind[0][:n_sub], bind[1][:n_sub], way, placements
+    flat = np.empty(int(cnt.sum()), np.int64)
+    pstart = np.zeros(cnt.size + 1, np.int64)
+    np.cumsum(cnt.reshape(-1), out=pstart[1:])
+    for bi, l, rows in placements:
+        s0 = int(pstart[bi * LANES + l])
+        flat[s0:s0 + len(rows)] = rows
+    return n_sub, bind[0][:n_sub], bind[1][:n_sub], way, flat
 
 
 def build_sell2(coo: COO, sr: Semiring,
@@ -496,15 +518,8 @@ def build_sell2(coo: COO, sr: Semiring,
         np.cumsum(pool_cnt, out=pool_start[1:])
         g_abs = np.empty(m, np.int64)
         way_e = np.empty(m, np.int8)
-        for ci, (sel, n_sub, b0, b1, way_b, placements) in enumerate(packs):
+        for ci, (sel, n_sub, b0, b1, way_b, flat) in enumerate(packs):
             e0p, e1p = int(pool_start[ci]), int(pool_start[ci + 1])
-            cnt_pool = cnt_cbl[sel].reshape(-1)
-            pstart = np.zeros(cnt_pool.size + 1, np.int64)
-            np.cumsum(cnt_pool, out=pstart[1:])
-            flat = np.empty(e1p - e0p, np.int64)
-            for lb, l, rows in placements:
-                s0 = int(pstart[lb * LANES + l])
-                flat[s0:s0 + len(rows)] = rows
             g_abs[e0p:e1p] = seg_start[ci] + flat
             lb_e = np.searchsorted(sel, cb_inv[e0p:e1p])
             way_e[e0p:e1p] = way_b[lb_e]
@@ -583,7 +598,7 @@ def build_sell2(coo: COO, sr: Semiring,
         blk0_of_sub = np.zeros((P, LANES), np.int32)
         blk1_of_sub = np.zeros((P, LANES), np.int32)
         csel_of_sub = np.zeros((P, LANES), np.int32)
-        for ci, (sel, n_sub, b0, b1, _w, _pl) in enumerate(packs):
+        for ci, (sel, n_sub, b0, b1, _w, _flat) in enumerate(packs):
             if n_sub == 0:
                 continue
             g = seg_start[ci] + np.arange(n_sub)

@@ -161,31 +161,64 @@ def test_virtual_chunks_off_for_local_structure():
     assert op.virt_blocks is None
 
 
-def test_twoshelf_pack_invariants():
-    """The r4 packer's contract: every pile entry gets a distinct
-    (sublane, lane) cell, piles live inside their block's own-shelf
-    interval (binding == block), and no sublane carries more than the
-    two bindings the kernel's blk0/blk1 fields can express."""
-    from sparseharness_tpu.ops.pallas_sell2 import _twoshelf_pack
-
-    rng = np.random.default_rng(0)
+def _pack_case(seed=0):
+    rng = np.random.default_rng(seed)
     cnt = np.zeros((48, 128), np.int64)
     for b in range(40):     # mixed spectrum: mid blocks + singleton tail
         lanes = rng.choice(128, int(rng.integers(1, 30)), replace=False)
         cnt[b, lanes] = rng.integers(1, 8, lanes.size)
     for b in range(40, 48):
         cnt[b, rng.integers(0, 128)] = 1
-    n_sub, b0, b1, way, placements = _twoshelf_pack(cnt)
+    return cnt
+
+
+def _check_pack(cnt, n_sub, b0, b1, way, flat):
+    """Shared invariants: every pile entry gets a distinct (sublane,
+    lane) cell inside its block's own-shelf interval; ≤2 bindings per
+    sublane is structural (one block id per shelf array)."""
     occ = np.zeros((n_sub, 128), bool)
-    placed = np.zeros_like(cnt)
-    for lb, l, rows in placements:
-        rows = np.asarray(rows)
-        assert len(rows) == cnt[lb, l]
-        assert not occ[rows, l].any(), "cell collision"
-        occ[rows, l] = True
-        placed[lb, l] += len(rows)
-        binding = (b0 if way[lb] == 0 else b1)[rows]
-        assert (binding == lb).all(), "pile outside its interval"
-    assert (placed == cnt).all(), "entries lost or duplicated"
+    pstart = np.zeros(cnt.size + 1, np.int64)
+    np.cumsum(cnt.reshape(-1), out=pstart[1:])
+    for lb in range(cnt.shape[0]):
+        for l in np.nonzero(cnt[lb])[0]:
+            rows = flat[pstart[lb * 128 + l]:pstart[lb * 128 + l + 1]]
+            assert len(rows) == cnt[lb, l]
+            assert not occ[rows, l].any(), "cell collision"
+            occ[rows, l] = True
+            binding = (b0 if way[lb] == 0 else b1)[rows]
+            assert (binding == lb).all(), "pile outside its interval"
     # the packer beats naive per-block stacking (sum of demands)
     assert n_sub < int(cnt.max(axis=1).sum())
+
+
+def test_twoshelf_pack_invariants():
+    from sparseharness_tpu.ops.pallas_sell2 import _twoshelf_pack
+
+    cnt = _pack_case(0)
+    _check_pack(cnt, *_twoshelf_pack(cnt))
+
+
+def test_twoshelf_pack_native_matches_numpy(monkeypatch):
+    """The native packer (native/fast_mtx.cpp:sell2_twoshelf_pack) must be
+    bit-identical to the NumPy fallback: same sublanes, bindings, shelf
+    bits and per-entry slots."""
+    import pytest
+
+    from sparseharness_tpu.formats import native_io
+    from sparseharness_tpu.ops.pallas_sell2 import (
+        SHELF_HOLE_TRIES, SHELF_MAX_HOLES, SHELF_MAX_PUSH, _twoshelf_pack,
+    )
+
+    if not native_io.available():
+        pytest.skip("native toolchain unavailable")
+    for seed in (0, 1, 2):
+        cnt = _pack_case(seed)
+        nat = native_io.sell2_pack(
+            cnt, SHELF_MAX_PUSH, SHELF_MAX_HOLES, SHELF_HOLE_TRIES)
+        monkeypatch.setenv("SPARSEHARNESS_TPU_NATIVE", "0")
+        ref = _twoshelf_pack(cnt)
+        monkeypatch.delenv("SPARSEHARNESS_TPU_NATIVE")
+        assert nat[0] == ref[0]
+        for a, b in zip(nat[1:], ref[1:]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        _check_pack(cnt, *nat)
