@@ -99,15 +99,19 @@ inline const char *parse_f64(const char *p, const char *end, double *out) {
   static const double pow10[] = {1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,
                                  1e7,  1e8,  1e9,  1e10, 1e11, 1e12, 1e13,
                                  1e14, 1e15, 1e16, 1e17, 1e18};
-  double v = static_cast<double>(mant);
   int e = exp10 - frac;
-  if (e >= -18 && e <= 18) {
-    v = e >= 0 ? v * pow10[e] : v / pow10[-e];
-  } else {
+  if (digits > 15 || e < -18 || e > 18) {
+    // >15 digits: mant may exceed 2^53, so double(mant) already rounded
+    // and the scale step would double-round (1 ulp off vs libc on %.17g
+    // round-trip files). ≤15 digits + one exact pow10 op is the standard
+    // single-rounding exactness criterion; defer the rest to strtod.
+    // (strtod re-reads from `start`, sign included — do NOT re-negate.)
     char *endp;
-    v = strtod(start, &endp);
-    p = endp;
+    *out = strtod(start, &endp);
+    return endp > start ? endp : nullptr;
   }
+  double v = static_cast<double>(mant);
+  v = e >= 0 ? v * pow10[e] : v / pow10[-e];
   *out = neg ? -v : v;
   return p;
 }

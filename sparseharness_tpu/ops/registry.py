@@ -88,9 +88,20 @@ def get_variant(name: str) -> KernelVariant:
 AUTO_CHAIN = ("bsr_band", "bsr_fused", "sell2", "bsr_ell", "ell")
 
 
+def _check_init_enabled() -> bool:
+    import os
+
+    return os.environ.get("SPARSEHARNESS_TPU_CHECK_INIT", "0") == "1"
+
+
 def build_operand(coo: COO, sr: Semiring, variant: str = "ell",
                   geometry: Geometry = Geometry()):
-    return get_variant(variant).build(coo, sr, geometry)
+    op = get_variant(variant).build(coo, sr, geometry)
+    if _check_init_enabled():
+        from sparseharness_tpu.ops.verify import verify_operand_initialized
+
+        verify_operand_initialized(coo, sr, op, variant)
+    return op
 
 
 def build_operand_auto(coo: COO, sr: Semiring,
@@ -99,9 +110,17 @@ def build_operand_auto(coo: COO, sr: Semiring,
     last = None
     for name in AUTO_CHAIN:
         try:
-            return name, get_variant(name).build(coo, sr, geometry)
+            op = get_variant(name).build(coo, sr, geometry)
         except NotImplementedError as e:
             last = e
+            continue
+        if _check_init_enabled():
+            from sparseharness_tpu.ops.verify import (
+                verify_operand_initialized,
+            )
+
+            verify_operand_initialized(coo, sr, op, name)
+        return name, op
     raise NotImplementedError(f"no variant in {AUTO_CHAIN} applies: {last}")
 
 

@@ -17,17 +17,20 @@ interconnect. This module exchanges only the *changed* entries:
   entry j only if shard d's rows reference column j), and swaps them with
   ``jax.lax.all_to_all``;
 - received updates are ⊕-applied to the cache (monotone scatter);
-- the solve starts in a **dense phase** (all-gather per iteration — early
-  BFS/SSSP frontiers always exceed any useful budget) and switches to
-  sparse exchange the first iteration every shard's frontier fits the
-  budget (a sticky carry bit; monotone frontiers stay small once small).
-  A post-switch overflow still falls back to a dense all-gather for that
-  iteration (lax.cond — correctness never depends on the budget) and is
-  what ``dense_fallbacks`` counts; pre-switch dense iterations are the
-  deliberate phase, reported as ``dense_phase_iters`` (VERDICT r3 next
-  #4). Growing the buffer instead is not XLA-friendly: the all_to_all
-  buffer shape is static under jit, so "adaptive budget" would mean a
-  recompile per size — the phase switch is the compiled-once design;
+- each iteration exchanges sparsely iff every shard's frontier fits the
+  budget, else it falls back to a dense all-gather for that iteration
+  (lax.cond — correctness never depends on the budget). In practice this
+  yields a **dense phase** at the start (early BFS/SSSP frontiers always
+  exceed any useful budget) followed by sparse exchange (monotone
+  frontiers stay small once small). A sticky phase bit — set the first
+  iteration every shard fits — is *reporting taxonomy only* (it does not
+  change which iterations go dense): it splits dense iterations into the
+  expected warmup (``dense_phase_iters``) vs post-switch budget thrash
+  (``dense_fallbacks``), so 0 fallbacks means the budget held once
+  frontiers shrank (VERDICT r3 next #4; ADVICE r4 clarified the bit is
+  accounting, not control). Growing the buffer instead is not
+  XLA-friendly: the all_to_all buffer shape is static under jit, so
+  "adaptive budget" would mean a recompile per size;
 - convergence is the usual on-device psum of a changed-count.
 
 ICI bytes per iteration: 8·budget·D vs 4·n for all-gather — the win is
@@ -281,11 +284,16 @@ def sharded_fixpoint_frontier(
                 overflow = jax.lax.psum(
                     (count > budget).astype(jnp.int32), ROWS_AXIS
                 ) > 0
-                # sticky dense→sparse switch: flip the first iteration
-                # every shard's frontier fits the budget; post-switch
-                # overflows are the counted fallbacks
+                # exchange choice is purely overflow-driven: sparse
+                # whenever every shard's frontier fits the budget. The
+                # sticky `phase` bit (set the first fitting iteration) is
+                # ACCOUNTING ONLY — it splits dense iterations into
+                # expected dense-phase warmup (dense_phase_iters) vs
+                # post-switch fallbacks (dense_fallbacks) so reports can
+                # tell a healthy dense ramp from budget thrash (ADVICE r4:
+                # phase2 & ~overflow reduces to ~overflow)
                 phase2 = jnp.logical_or(phase, ~overflow)
-                use_sparse = jnp.logical_and(phase2, ~overflow)
+                use_sparse = ~overflow
 
                 def dense(_):
                     # count * 0 keeps the branch output varying-over-mesh

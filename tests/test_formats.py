@@ -159,3 +159,75 @@ def test_chained_power_law_coo():
     # with the cluster count: BFS from 0 needs more levels than clusters
     levels = bfs_levels_gold(g, 0)
     assert levels.max() >= 8
+
+
+# ---------------------------------------------------------------- writer
+# (the NIST write path, src/mmio.cpp:340-374; VERDICT r4 missing #2)
+
+
+def _canon(coo):
+    order = np.lexsort((np.asarray(coo.vals, np.float64),
+                        coo.cols, coo.rows))
+    return (coo.rows[order], coo.cols[order],
+            np.asarray(coo.vals, np.float64)[order])
+
+
+@pytest.mark.parametrize("name", [
+    "matrix.mtx", "matrix2.mtx", "matrix3.mtx", "matrix4.mtx", "matrix5.mtx",
+])
+def test_write_mtx_round_trips_reference_matrices(name, tmp_path):
+    p = reference_matrix_path(name)
+    if p is None:
+        pytest.skip("reference examples not mounted")
+    h = read_mtx_header(p)
+    coo1 = read_mtx(p)
+    out = tmp_path / name
+    write_mtx(str(out), coo1, field=h.field, symmetry=h.symmetry)
+    h2 = read_mtx_header(str(out))
+    assert (h2.field, h2.symmetry) == (h.field, h.symmetry)
+    assert h2.nnz == h.nnz or h.symmetry == "general"
+    coo2 = read_mtx(str(out))
+    assert coo1.shape == coo2.shape
+    for a, b in zip(_canon(coo1), _canon(coo2)):
+        assert np.array_equal(a, b)
+
+
+def test_write_mtx_symmetric_rejects_asymmetric(tmp_path):
+    coo = COO(rows=np.array([0, 1], np.int32), cols=np.array([1, 0], np.int32),
+              vals=np.array([2.0, 3.0], np.float32), shape=(2, 2))
+    with pytest.raises(ValueError, match="not symmetric"):
+        write_mtx(str(tmp_path / "x.mtx"), coo, symmetry="symmetric")
+
+
+def test_write_mtx_skew_round_trip(tmp_path):
+    coo = COO(rows=np.array([1, 0, 2, 1], np.int32),
+              cols=np.array([0, 1, 1, 2], np.int32),
+              vals=np.array([4.0, -4.0, 2.5, -2.5], np.float32),
+              shape=(3, 3))
+    path = tmp_path / "skew.mtx"
+    write_mtx(str(path), coo, symmetry="skew-symmetric")
+    h = read_mtx_header(str(path))
+    assert h.symmetry == "skew-symmetric" and h.nnz == 2
+    coo2 = read_mtx(str(path))
+    for a, b in zip(_canon(coo), _canon(coo2)):
+        assert np.array_equal(a, b)
+
+
+def test_write_mtx_skew_rejects_nonzero_diagonal(tmp_path):
+    coo = COO(rows=np.array([0, 1, 0], np.int32),
+              cols=np.array([1, 0, 0], np.int32),
+              vals=np.array([1.0, -1.0, 5.0], np.float32), shape=(2, 2))
+    with pytest.raises(ValueError, match="diagonal"):
+        write_mtx(str(tmp_path / "x.mtx"), coo, symmetry="skew-symmetric")
+
+
+def test_write_mtx_float64_precision_round_trips(tmp_path):
+    rng = np.random.default_rng(0)
+    vals = rng.standard_normal(50)
+    coo = COO(rows=np.arange(50, dtype=np.int32) % 10,
+              cols=np.arange(50, dtype=np.int32) // 5,
+              vals=vals, shape=(10, 10))
+    path = tmp_path / "f64.mtx"
+    write_mtx(str(path), coo)
+    coo2 = read_mtx(str(path), dtype=np.float64)
+    assert np.array_equal(_canon(coo)[2], _canon(coo2)[2])
