@@ -64,6 +64,16 @@ def _load() -> ctypes.CDLL:
             raise NativeUnavailable(
                 f"stale native library, rebuild required: {e}"
             ) from e
+        try:
+            # heap-arena reuse for large buffers: this host's first-touch
+            # page faults run ~50 µs/page and glibc munmaps big chunks on
+            # free, so every encode would refault its working set (145×
+            # measured on 140 MB steady-state alloc+fill). Process-wide;
+            # opt out with SPARSEHARNESS_TPU_MALLOC_TUNE=0.
+            if os.environ.get("SPARSEHARNESS_TPU_MALLOC_TUNE", "1") != "0":
+                lib.fastmtx_tune_malloc()
+        except AttributeError:
+            pass
         _lib = lib
         return lib
 
@@ -102,6 +112,50 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.sell2_encode_slab.restype = ctypes.c_void_p
+    lib.sell2_encode_slab.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.sell2_slab_meta.restype = None
+    lib.sell2_slab_meta.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.sell2_slab_fetch.restype = None
+    lib.sell2_slab_fetch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.sell2_slab_free.restype = None
+    lib.sell2_slab_free.argtypes = [ctypes.c_void_p]
+    lib.sell2_heavy_split.restype = ctypes.c_int64
+    lib.sell2_heavy_split.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.sell2_sort_fold.restype = ctypes.c_int64
+    lib.sell2_sort_fold.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
     ]
 
 
@@ -258,4 +312,154 @@ def sell2_pack(cnt: np.ndarray, max_push: int, max_holes: int,
         n_sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     ns = int(n_sub[0])
+    if ns < 0:
+        raise NativeUnavailable(
+            "sell2_twoshelf_pack: placement bounds invariant breached "
+            "(o + d > cap) — refusing the native layout")
     return ns, bind0[:ns], bind1[:ns], way[:nb], flat[: int(cnt.sum())]
+
+
+def sell2_encode_slab(rows_e, cols_e, vals_store, zero_store,
+                      n_chunks: int, virt_base: int, rows_slab: int,
+                      virtual_chunks: bool, max_push: int, max_holes: int,
+                      hole_tries: int, virt_demand_t: int):
+    """Native per-slab sell2 encode (ops/pallas_sell2.build_sell2 phase
+    A/B + array fills), bit-identical to the NumPy slab body. Returns
+    ``(wordA, wordB, vals, chunk_of_panel, p_depth, p_two, p_hi,
+    virt_rows, bf_depth, two_tiles, has_hi, P)``; raises
+    :class:`NativeUnavailable` on any failure (caller runs the NumPy
+    body for this slab instead — safe to mix, the layouts agree)."""
+    lib = _load()
+    rows_e = np.ascontiguousarray(rows_e, np.int64)
+    cols_e = np.ascontiguousarray(cols_e, np.int64)
+    vals_store = np.ascontiguousarray(vals_store)
+    zero_store = np.ascontiguousarray(zero_store)
+    if zero_store.dtype != vals_store.dtype:
+        raise NativeUnavailable("zero/value dtype mismatch")
+    m = len(rows_e)
+    itemsize = vals_store.dtype.itemsize
+    h = lib.sell2_encode_slab(
+        rows_e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cols_e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vals_store.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(m), ctypes.c_int64(itemsize),
+        zero_store.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n_chunks), ctypes.c_int64(virt_base),
+        ctypes.c_int64(rows_slab),
+        ctypes.c_int32(1 if virtual_chunks else 0),
+        ctypes.c_int64(max_push), ctypes.c_int64(max_holes),
+        ctypes.c_int64(hole_tries), ctypes.c_int64(virt_demand_t),
+    )
+    if not h:
+        raise NativeUnavailable("sell2_encode_slab: layout invariant "
+                                "failed (align budget / empty slab)")
+    try:
+        P = ctypes.c_int64()
+        n_virt = ctypes.c_int64()
+        bf = ctypes.c_int32()
+        two = ctypes.c_int32()
+        hi = ctypes.c_int32()
+        lib.sell2_slab_meta(h, ctypes.byref(P), ctypes.byref(n_virt),
+                            ctypes.byref(bf), ctypes.byref(two),
+                            ctypes.byref(hi))
+        P_, nv = int(P.value), int(n_virt.value)
+        L = 128
+        wordA = np.empty((P_ * L, L), np.int32)
+        wordB = np.empty((P_ * L, L), np.int32)
+        vals = np.empty((P_ * L, L), vals_store.dtype)
+        cop = np.empty((P_, 2), np.int32)
+        p_depth = np.empty(P_, np.int32)
+        p_two = np.empty(P_, np.uint8)
+        p_hi = np.empty(P_, np.uint8)
+        vrows = np.empty((max(nv, 1), L), np.int32)
+        lib.sell2_slab_fetch(
+            h,
+            wordA.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            wordB.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cop.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            p_depth.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            p_two.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            p_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            vrows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    finally:
+        lib.sell2_slab_free(h)
+    return (wordA, wordB, vals, cop, p_depth, p_two.astype(bool),
+            p_hi.astype(bool), vrows[:nv], int(bf.value),
+            bool(two.value), bool(hi.value), P_)
+
+
+_VAL_KINDS = {"float32": 0, "float64": 1, "int32": 2, "int64": 3, "bool": 4}
+_FOLD_OPS = {"add": 0, "minimum": 1, "maximum": 2, "or": 3}
+
+
+def sell2_sort_fold(coo, fold_name: str):
+    """Native stable (row, col) sort + adjacent duplicate ⊕-fold — the
+    fold_duplicates + sorted_by_row front of the sell2 build, same FP
+    fold order. Returns a sorted, duplicate-free COO."""
+    from sparseharness_tpu.formats.sparse import COO
+
+    lib = _load()
+    kind = _VAL_KINDS.get(np.dtype(coo.vals.dtype).name)
+    op = _FOLD_OPS.get(fold_name, 0)
+    if kind is None:
+        raise NativeUnavailable(f"unsupported value dtype {coo.vals.dtype}")
+    nnz = coo.nnz
+    if nnz == 0 or nnz > 2**31 - 1:
+        raise NativeUnavailable("nnz out of native range")
+    rows = np.ascontiguousarray(coo.rows, np.int32)
+    cols = np.ascontiguousarray(coo.cols, np.int32)
+    vals = np.ascontiguousarray(coo.vals)
+    out_rows = np.empty(nnz, np.int32)
+    out_cols = np.empty(nnz, np.int32)
+    out_vals = np.empty(nnz, vals.dtype)
+    got = lib.sell2_sort_fold(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(nnz), ctypes.c_int64(coo.shape[0]),
+        ctypes.c_int64(coo.shape[1]),
+        ctypes.c_int64(vals.dtype.itemsize),
+        ctypes.c_int32(kind), ctypes.c_int32(op),
+        out_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if got < 0:
+        raise NativeUnavailable("sell2_sort_fold refused the input")
+    return COO(out_rows[:got], out_cols[:got], out_vals[:got], coo.shape)
+
+
+def sell2_heavy_split(s_coo, vals_all, base_pad: int, split_t: int):
+    """Native heavy-row split + final (rows_k, col) order (the closed-form
+    stripe in build_sell2). ``s_coo`` must be (row, col) sorted and
+    duplicate-free; ``vals_all`` carries the already-converted carrier
+    values. Returns (k_rows, k_cols, k_vals, piece_owner, n_pieces)."""
+    lib = _load()
+    nnz = s_coo.nnz
+    n_rows = s_coo.shape[0]
+    if nnz == 0 or nnz > 2**31 - 1:
+        raise NativeUnavailable("nnz out of native range")
+    rows = np.ascontiguousarray(s_coo.rows, np.int32)
+    cols = np.ascontiguousarray(s_coo.cols, np.int32)
+    vals = np.ascontiguousarray(vals_all)
+    k_rows = np.empty(nnz, np.int64)
+    k_cols = np.empty(nnz, np.int64)
+    k_vals = np.empty(nnz, vals.dtype)
+    owner = np.empty(nnz // max(split_t // 2, 1) + 2, np.int32)
+    got = lib.sell2_heavy_split(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(nnz), ctypes.c_int64(vals.dtype.itemsize),
+        ctypes.c_int64(n_rows), ctypes.c_int64(base_pad),
+        ctypes.c_int64(split_t),
+        k_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        k_cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        k_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        owner.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if got < 0:
+        raise NativeUnavailable("sell2_heavy_split refused the input")
+    return k_rows, k_cols, k_vals, owner[:got], int(got)

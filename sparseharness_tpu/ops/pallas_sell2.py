@@ -103,6 +103,25 @@ from sparseharness_tpu.ops.pallas_bsr import _carrier, _interpret, _np_fold_for
 LANES = 128
 #: columns per x chunk (one transposed (128,128) tile = 16384 x elements)
 CHUNK_COLS = LANES * LANES
+
+# ---- encode-stage wall clocks (SPARSEHARNESS_TPU_ENCODE_TIMINGS=1) ----
+# the encode path is a first-class measured surface (just_parser parity,
+# app/just_parser.cpp); per-stage attribution drives its optimization
+ENCODE_TIMINGS: dict = {}
+
+
+def _enc_mark(key, t0):
+    """Accumulate [t0, now) into ENCODE_TIMINGS[key]; returns now.
+    No-ops (returns 0.0) unless the env gate is set."""
+    import os
+    import time
+
+    if os.environ.get("SPARSEHARNESS_TPU_ENCODE_TIMINGS", "0") != "1":
+        return 0.0
+    now = time.perf_counter()
+    if key is not None:
+        ENCODE_TIMINGS[key] = ENCODE_TIMINGS.get(key, 0.0) + now - t0
+    return now
 #: usable stream sublanes per panel (127; sublane 127 is the identity row)
 USABLE = LANES - 1
 #: rows per output slab: out tile is (SLAB_ROWS/128, 128), ≤ 256 sublanes
@@ -346,41 +365,101 @@ def build_sell2(coo: COO, sr: Semiring,
         store_dtype = np_dtype
     zero = np.asarray(zero, np_dtype)
 
-    coo = fold_duplicates(coo, _np_fold_for(sr, as_int))
-    s = coo.sorted_by_row()
+    # native encode paths (front sort/fold + per-slab core): bit-identical
+    # to the NumPy stages (tests/test_native.py asserts equality), so any
+    # native failure just runs the corresponding NumPy stage instead
+    import os as _os
+
+    use_native_slab = _os.environ.get("SPARSEHARNESS_TPU_NATIVE", "1") != "0"
+    if use_native_slab:
+        try:
+            from sparseharness_tpu.formats import native_io as _nio
+
+            _nio._load()
+        except Exception:
+            use_native_slab = False
+
+    _t = _enc_mark(None, 0.0)
+    s = None
+    if use_native_slab:
+        try:
+            fold = _np_fold_for(sr, as_int)
+            s = _nio.sell2_sort_fold(coo, getattr(fold, "__name__", "add"))
+        except Exception:
+            s = None
+    if s is None:
+        coo = fold_duplicates(coo, _np_fold_for(sr, as_int))
+        s = coo.sorted_by_row()
     vals_all = s.vals if not as_int else (s.vals != 0).astype(np.int32)
     vals_all = vals_all.astype(np_dtype)
+    _t = _enc_mark("fold+rowsort", _t)
 
     # ---- heavy-row split: stripe rows > SPLIT_T over overflow pieces ----
     base_pad = round_up(max(n, 1), 1024)
-    lens = np.bincount(s.rows, minlength=n).astype(np.int64)
-    heavy = np.nonzero(lens > SPLIT_T)[0]
-    indptr0 = np.zeros(n + 1, np.int64)
-    np.cumsum(lens, out=indptr0[1:])
-    if heavy.size:
+    split_done = False
+    if use_native_slab:
+        try:
+            (k_rows, k_cols, k_vals, _owner,
+             _npieces) = _nio.sell2_heavy_split(s, vals_all, base_pad,
+                                                SPLIT_T)
+            piece_owner = _owner if _npieces else None
+            n_tot = base_pad + _npieces if _npieces else n
+            split_done = True
+        except Exception:
+            split_done = False
+    if not split_done:
+        lens = np.bincount(s.rows, minlength=n).astype(np.int64)
+        heavy = np.nonzero(lens > SPLIT_T)[0]
+        indptr0 = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=indptr0[1:])
+    if not split_done and heavy.size:
         p_r = -(-lens[heavy] // SPLIT_T)                # pieces per row
         ov_off = np.cumsum(p_r) - p_r
         n_pieces = int(p_r.sum())
         piece_owner = np.repeat(heavy, p_r).astype(np.int32)
         rank = np.arange(s.nnz, dtype=np.int64) - indptr0[s.rows]
-        rows_k = s.rows.astype(np.int64)
         is_h = lens[s.rows] > SPLIT_T
         hidx = np.searchsorted(heavy, s.rows[is_h])
         # entry j of a heavy row (col-sorted) → piece j % p_r: consecutive
         # piece ids cycle lanes mod 128 and stripe every block's pile
-        rows_k[is_h] = base_pad + ov_off[hidx] + rank[is_h] % p_r[hidx]
+        rows_k_h = base_pad + ov_off[hidx] + rank[is_h] % p_r[hidx]
         n_tot = base_pad + n_pieces
-        order0 = np.lexsort((s.cols, rows_k))
-        k_rows = rows_k[order0]
-        k_cols = s.cols.astype(np.int64)[order0]
-        k_vals = vals_all[order0]
-    else:
+        # final (rows_k, col) order WITHOUT a sort (r5: the lexsort here
+        # was 15% of encode): light entries keep their (row, col) order
+        # and come first (every piece id ≥ base_pad > any light row);
+        # a heavy row of length len striped over p pieces (q = len//p,
+        # rr = len%p: pieces 0..rr-1 hold q+1 entries) sends rank r to
+        # in-row position (r%p)·q + min(r%p, rr) + r//p — pieces ascend
+        # and ranks r%p ≡ j stride col-ascending, exactly the
+        # lexsort((cols, rows_k)) order (keys unique after fold)
+        rk = rank[is_h]
+        pe = p_r[hidx]
+        le = lens[s.rows[is_h]]
+        qe, rre = le // pe, le % pe
+        j = rk % pe
+        pos_in_row = j * qe + np.minimum(j, rre) + rk // pe
+        hlens = lens[heavy]
+        before = (np.cumsum(hlens) - hlens)[hidx]
+        n_light = int(s.nnz - is_h.sum())
+        target_h = n_light + before + pos_in_row
+        k_rows = np.empty(s.nnz, np.int64)
+        k_cols = np.empty(s.nnz, np.int64)
+        k_vals = np.empty(s.nnz, vals_all.dtype)
+        light = ~is_h
+        k_rows[:n_light] = s.rows[light]
+        k_cols[:n_light] = s.cols[light]
+        k_vals[:n_light] = vals_all[light]
+        k_rows[target_h] = rows_k_h
+        k_cols[target_h] = s.cols[is_h]
+        k_vals[target_h] = vals_all[is_h]
+    elif not split_done:
         piece_owner = None
         n_tot = n
         k_rows = s.rows.astype(np.int64)
         k_cols = s.cols.astype(np.int64)
         k_vals = vals_all
 
+    _t = _enc_mark("heavy-split", _t)
     n_pad = round_up(max(n_tot, 1), 1024)
     n_chunks = round_up(max(c, 1), CHUNK_COLS) // CHUNK_COLS
     indptr = np.zeros(n_tot + 1, np.int64)
@@ -390,6 +469,43 @@ def build_sell2(coo: COO, sr: Semiring,
     layouts: List[_SlabLayout] = []
     total_slots = 0
     virt_rows: List[np.ndarray] = []   # per virtual chunk: 128 block ids
+
+    def _blowup_guard(slots, m_):
+        if ((slots > PAD_BLOWUP_LIMIT * m_ and slots > (1 << 20))
+                or slots * 12 > SLOT_BYTE_CAP):
+            raise NotImplementedError(
+                f"sell2 padding blowup: {slots} packed slots for "
+                f"{m_} nonzeros; use coo_seg/ell"
+            )
+
+    # native path: encode slabs on a 2-worker thread pool (the ctypes call
+    # releases the GIL). Each job uses a LOCAL virtual-chunk base of
+    # n_chunks; virtual ids only ever appear in chunk_of_panel and are
+    # order-invariant under a uniform shift, so collection (in slab
+    # order) rebases them by the virt count accumulated so far — the
+    # result is bit-identical to the sequential NumPy build.
+    _futs = {}
+    _pool = None
+    if use_native_slab:
+        import concurrent.futures as _cf
+
+        _pool = _cf.ThreadPoolExecutor(max_workers=2)
+        zero_store = np.asarray(zero, store_dtype)
+        for r0 in range(0, n_pad, SLAB_ROWS):
+            rows_slab = min(SLAB_ROWS, n_pad - r0)
+            e0 = int(indptr[min(r0, n_tot)])
+            e1 = int(indptr[min(r0 + rows_slab, n_tot)])
+            if e1 == e0:
+                continue
+            _futs[r0] = _pool.submit(
+                _nio.sell2_encode_slab,
+                k_rows[e0:e1] - r0, k_cols[e0:e1],
+                k_vals[e0:e1].astype(store_dtype, copy=False), zero_store,
+                n_chunks, n_chunks, rows_slab, virtual_chunks,
+                SHELF_MAX_PUSH, SHELF_MAX_HOLES, SHELF_HOLE_TRIES,
+                VIRT_DEMAND_T)
+        _t = _enc_mark("native-submit", _t)
+
     for r0 in range(0, n_pad, SLAB_ROWS):
         rows_slab = min(SLAB_ROWS, n_pad - r0)
         e0 = int(indptr[min(r0, n_tot)])
@@ -399,14 +515,65 @@ def build_sell2(coo: COO, sr: Semiring,
             layouts.append(_SlabLayout(r0, rows_slab, 0, 1, False, False))
             slabs.append(None)
             continue
+        native_res = None
+        if r0 in _futs:
+            try:
+                native_res = _futs[r0].result()
+            except _nio.NativeUnavailable:
+                native_res = None   # this slab runs the NumPy body below
+        if native_res is not None:
+            (wordA, wordB, vals_arr, chunk_of_panel, p_depth_a,
+             p_two_a, p_hi_a, vrows, bf_depth, two_tiles, has_hi,
+             P) = native_res
+            if len(vrows):
+                chunk_of_panel = chunk_of_panel.copy()
+                chunk_of_panel[chunk_of_panel >= n_chunks] += len(virt_rows)
+                for vrow in vrows:
+                    virt_rows.append(vrow)
+            total_slots += P * LANES * LANES
+            _blowup_guard(P * LANES * LANES, m)
+            _t = _enc_mark("native-slab", _t)
+            if not split_calls:
+                slabs.append({
+                    "chunk": jnp.asarray(chunk_of_panel),
+                    "wordA": jnp.asarray(wordA),
+                    "wordB": jnp.asarray(wordB),
+                    "vals": jnp.asarray(vals_arr),
+                })
+                layouts.append(_SlabLayout(
+                    r0, rows_slab, P, bf_depth, two_tiles, has_hi))
+                _t = _enc_mark("bucket+upload", _t)
+                continue
+            dgrp = np.where(p_depth_a == 0, 0,
+                            np.where(p_depth_a <= 2, 1, 2))
+            bkey = dgrp * 2 + p_two_a.astype(np.int64)
+            wa3 = wordA.reshape(P, LANES, LANES)
+            wb3 = wordB.reshape(P, LANES, LANES)
+            va3 = vals_arr.reshape(P, LANES, LANES)
+            for kk in np.unique(bkey):
+                sel = np.nonzero(bkey == kk)[0]
+                slabs.append({
+                    "chunk": jnp.asarray(chunk_of_panel[sel]),
+                    "wordA": jnp.asarray(wa3[sel].reshape(-1, LANES)),
+                    "wordB": jnp.asarray(wb3[sel].reshape(-1, LANES)),
+                    "vals": jnp.asarray(va3[sel].reshape(-1, LANES)),
+                })
+                layouts.append(_SlabLayout(
+                    r0, rows_slab, len(sel), int(p_depth_a[sel].max()),
+                    bool(p_two_a[sel].any()),
+                    bool(p_hi_a[sel].any()) or rows_slab > 16384,
+                ))
+            _t = _enc_mark("bucket+upload", _t)
+            continue
+
         rows_e = k_rows[e0:e1] - r0
         cols_e = k_cols[e0:e1]
         vals_e = k_vals[e0:e1]
-
         lane = rows_e % LANES
         chunk = cols_e // CHUNK_COLS
         blkc = (cols_e % CHUNK_COLS) // LANES
         col_lane = cols_e % LANES
+        _t = _enc_mark("slab-slice", _t)
 
         # ---- virtual chunks -------------------------------------------
         # chunks whose whole-slab 1-way demand is sub-panel fragment the
@@ -454,8 +621,10 @@ def build_sell2(coo: COO, sr: Semiring,
 
         # ---- phase A packing ------------------------------------------
         # entries sorted (chunk, blk, lane): pool-contiguous, pile order
+        _t = _enc_mark("virtual-chunks", _t)
         order = np.lexsort((lane, blkc, chunk))
         och, obl, oln = chunk[order], blkc[order], lane[order]
+        _t = _enc_mark("phaseA-sort", _t)
 
         # per-(chunk, blk) lane histograms
         key_cb = och * LANES + obl
@@ -464,6 +633,7 @@ def build_sell2(coo: COO, sr: Semiring,
         cnt_cbl = np.zeros((ncb, LANES), np.int64)
         np.add.at(cnt_cbl, (cb_inv, oln), 1)
         cb_chunk = cb_u // LANES
+        _t = _enc_mark("phaseA-hist", _t)
 
         # two-shelf interval packing per chunk-pool (see _twoshelf_pack):
         # every sublane carries ≤2 block bindings via its own blk0/blk1
@@ -477,6 +647,7 @@ def build_sell2(coo: COO, sr: Semiring,
             pk = _twoshelf_pack(cnt_cbl[sel])
             packs.append((sel,) + pk)
             pool_nsub[ci] = pk[0]
+        _t = _enc_mark("pack", _t)
 
         # chunk-major stream packed CONTIGUOUSLY across chunk boundaries:
         # a panel may mix sublanes from up to TWO chunks (the kernel
@@ -508,6 +679,7 @@ def build_sell2(coo: COO, sr: Semiring,
         P = (q + USABLE - 1) // USABLE
         while len(panel_touch) < P:
             panel_touch.append([])
+        _t = _enc_mark("segments", _t)
 
         # per entry: stream slot from the packer's pile placements.
         # Entries within a pool are (blk asc, lane asc, pile-pos) ordered,
@@ -525,6 +697,7 @@ def build_sell2(coo: COO, sr: Semiring,
             way_e[e0p:e1p] = way_b[lb_e]
         panel = g_abs // USABLE
         s_sub = g_abs % USABLE
+        _t = _enc_mark("slots", _t)
 
         slots = P * LANES * LANES
         total_slots += slots
@@ -566,6 +739,7 @@ def build_sell2(coo: COO, sr: Semiring,
         # lane 126/127 of the identity-route tile must stay un-captured
         two_tiles = bool((run_off + run_w).max(initial=0) > 126)
         has_hi = bool(run_out.max(initial=0) >= 128) or rows_slab > 16384
+        _t = _enc_mark("phaseB-runs", _t)
 
         # ---- array fills -------------------------------------------------
         vals_arr = np.full((P * LANES, LANES), zero, store_dtype)
@@ -657,6 +831,7 @@ def build_sell2(coo: COO, sr: Semiring,
         iRhi = (rowR[o_hi], run_out[o_hi] - LANES)
         wordA[iRhi] = (wordA[iRhi] & ~np.int32((127 << 22) | (1 << 29))) | (
             (route_lane[o_hi] << 22) | (route_tile[o_hi] << 29))
+        _t = _enc_mark("fills", _t)
 
         if not split_calls:
             slabs.append({
@@ -667,6 +842,7 @@ def build_sell2(coo: COO, sr: Semiring,
             })
             layouts.append(_SlabLayout(
                 r0, rows_slab, P, bf_depth, two_tiles, has_hi))
+            _t = _enc_mark("bucket+upload", _t)
             continue
 
         # ---- per-panel call bucketing ----------------------------------
@@ -698,7 +874,10 @@ def build_sell2(coo: COO, sr: Semiring,
                 bool(p_two[sel].any()),
                 bool(p_hi[sel].any()) or rows_slab > 16384,
             ))
+        _t = _enc_mark("bucket+upload", _t)
 
+    if _pool is not None:
+        _pool.shutdown(wait=False)
     nnz = max(coo.nnz, 1)
     if ((total_slots > PAD_BLOWUP_LIMIT * nnz and total_slots > (1 << 20))
             or total_slots * 12 > SLOT_BYTE_CAP):

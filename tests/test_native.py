@@ -134,3 +134,99 @@ def test_native_sym_pattern_matches_numpy():
             coo.shape[0], coo.rows, coo.cols)
         np.testing.assert_array_equal(nat_indptr, indptr)
         np.testing.assert_array_equal(nat_indices, indices)
+
+
+def _build_sell2_both(coo, sr, monkeypatch):
+    import jax
+    from sparseharness_tpu.ops import build_operand
+
+    monkeypatch.setenv("SPARSEHARNESS_TPU_NATIVE", "0")
+    a = build_operand(coo, sr, "sell2")
+    monkeypatch.setenv("SPARSEHARNESS_TPU_NATIVE", "1")
+    b = build_operand(coo, sr, "sell2")
+    return a, b
+
+
+def _assert_sell2_identical(a, b):
+    assert a.layouts == b.layouts
+    assert (a.piece_owner is None) == (b.piece_owner is None)
+    if a.piece_owner is not None:
+        np.testing.assert_array_equal(np.asarray(a.piece_owner),
+                                      np.asarray(b.piece_owner))
+    assert (a.virt_blocks is None) == (b.virt_blocks is None)
+    if a.virt_blocks is not None:
+        np.testing.assert_array_equal(np.asarray(a.virt_blocks),
+                                      np.asarray(b.virt_blocks))
+    assert len(a.slabs) == len(b.slabs)
+    for sa, sb in zip(a.slabs, b.slabs):
+        assert (sa is None) == (sb is None)
+        if sa is None:
+            continue
+        for k in ("chunk", "wordA", "wordB", "vals"):
+            np.testing.assert_array_equal(np.asarray(sa[k]),
+                                          np.asarray(sb[k]))
+
+
+def test_native_sell2_encode_bit_identical(monkeypatch):
+    # the r5 native encode core (sell2_sort_fold + sell2_heavy_split +
+    # sell2_encode_slab) must reproduce the NumPy build EXACTLY — layouts,
+    # packed words, values, virtual-chunk tables, piece owners
+    from sparseharness_tpu.formats import (
+        banded_coo, power_law_coo, random_coo,
+    )
+    from sparseharness_tpu.formats.generate import chained_power_law_coo
+    from sparseharness_tpu.semiring import MIN_PLUS, OR_AND, PLUS_TIMES
+
+    if not native_io.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    cases = [
+        (random_coo(300, 300, 2000, seed=1), PLUS_TIMES),
+        (power_law_coo(4000, 16000, alpha=1.5, seed=13), MIN_PLUS),
+        (power_law_coo(2000, 40000, alpha=1.1, seed=3), PLUS_TIMES),
+        (banded_coo(3000, 20, seed=2), PLUS_TIMES),
+        (chained_power_law_coo(16, 2000, 8.0, seed=5), MIN_PLUS),
+        (power_law_coo(4000, 16000, alpha=1.5, seed=13), OR_AND),
+    ]
+    for coo, sr in cases:
+        a, b = _build_sell2_both(coo, sr, monkeypatch)
+        _assert_sell2_identical(a, b)
+
+
+def test_native_sell2_encode_identical_with_duplicates(monkeypatch):
+    from sparseharness_tpu.formats import coo_from_arrays, random_coo
+    from sparseharness_tpu.semiring import PLUS_TIMES
+
+    if not native_io.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    base = random_coo(200, 200, 3000, seed=9)
+    rows = np.concatenate([base.rows, base.rows[:500]])
+    cols = np.concatenate([base.cols, base.cols[:500]])
+    vals = np.concatenate([base.vals, base.vals[:500] * 0.5]).astype(
+        np.float32)
+    coo = coo_from_arrays(rows, cols, vals, base.shape)
+    a, b = _build_sell2_both(coo, PLUS_TIMES, monkeypatch)
+    _assert_sell2_identical(a, b)
+
+
+def test_native_sort_fold_matches_numpy():
+    from sparseharness_tpu.formats import coo_from_arrays
+    from sparseharness_tpu.formats.sparse import fold_duplicates
+
+    if not native_io.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(3)
+    rows = rng.integers(0, 50, 400).astype(np.int32)
+    cols = rng.integers(0, 50, 400).astype(np.int32)
+    vals = rng.uniform(0.1, 1.0, 400).astype(np.float32)
+    coo = coo_from_arrays(rows, cols, vals, (50, 50))
+    want = fold_duplicates(coo, np.add).sorted_by_row()
+    got = native_io.sell2_sort_fold(coo, "add")
+    np.testing.assert_array_equal(got.rows, want.rows)
+    np.testing.assert_array_equal(got.cols, want.cols)
+    np.testing.assert_array_equal(got.vals, want.vals)  # exact fold order
