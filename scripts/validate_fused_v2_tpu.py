@@ -1,0 +1,107 @@
+"""Chip validation + measurement of the r5 unrolled-gather bsr_fused
+(VERDICT r4 next #1 follow-through): all semirings gold-checked on the real
+TPU, then the blocked-workload routing numbers refreshed (bsr_fused vs
+bsr_ell vs sell2 on the 33.5M-nnz random-block matrix, chained two-point
+clock). Writes results/fused_v2_tpu.json.
+
+Run from /root/repo on the TPU backend.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sh_tpu_jax_cache")
+
+from sparseharness_tpu.formats import block_random_coo
+from sparseharness_tpu.gold import check_result, spmv_abs_bound, spmv_gold
+from sparseharness_tpu.harness.roofline import device_hbm_bandwidth
+from sparseharness_tpu.ops import build_operand, get_variant, spmv
+from sparseharness_tpu.semiring import REGISTRY
+
+report = {"backend": jax.default_backend(), "semirings": {}, "routing": {}}
+
+# ---- gold matrix on chip: every supported semiring --------------------
+coo = block_random_coo(4096, blocks_per_row=3, bm=8, bn=128, seed=7)
+rng = np.random.default_rng(1)
+x = rng.uniform(0.2, 1.0, coo.shape[1]).astype(np.float32)
+variant = get_variant("bsr_fused")
+for name, sr in sorted(REGISTRY.items()):
+    if not variant.supports_semiring(sr):
+        report["semirings"][name] = "unsupported (guarded)"
+        continue
+    try:
+        op = build_operand(coo, sr, "bsr_fused")
+        xs = jnp.asarray(x, sr.dtype) if sr.dtype != "bool" else jnp.asarray(
+            x > 0.5)
+        out = np.asarray(spmv(op, xs, sr=sr, variant="bsr_fused",
+                              n_rows=coo.shape[0]))
+        gold = spmv_gold(coo, np.asarray(xs), np.zeros(
+            coo.shape[0], np.asarray(xs).dtype), sr)
+        scale = (spmv_abs_bound(coo, np.asarray(xs))
+                 if sr.name == "plus_times" else None)
+        corr = check_result(out, gold, delta=1e-4,
+                            exact=sr.exact_convergence, scale=scale)
+        report["semirings"][name] = corr.value
+        print(f"{name}: {corr.value}", flush=True)
+    except NotImplementedError as e:
+        report["semirings"][name] = f"guarded: {e}"[:120]
+
+# ---- routing measurement on the 33.5M-nnz blocked workload ------------
+n = 131072
+gb = block_random_coo(n, blocks_per_row=2, bm=8, bn=128, seed=5)
+xb = jnp.asarray(rng.uniform(0.2, 1.0, n).astype(np.float32))
+sr = REGISTRY["plus_times"]
+
+
+def chain_time(dp, op, x0, k1=32, k2=64, trials=5):
+    def chained(kk):
+        def f(xc, opx):
+            def body(c, _):
+                return dp(opx, c, sr, n_rows=n)[:n], None
+            out, _ = jax.lax.scan(body, xc, None, length=kk)
+            return out
+        return jax.jit(f)
+    f1, f2 = chained(k1), chained(k2)
+    np.asarray(f1(x0, op).ravel()[:1])
+    np.asarray(f2(x0, op).ravel()[:1])
+    w1, w2 = [], []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(f1(x0, op).ravel()[:1])
+        w1.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(f2(x0, op).ravel()[:1])
+        w2.append(time.perf_counter() - t0)
+    return (min(w2) - min(w1)) / (k2 - k1)
+
+
+hbm = device_hbm_bandwidth()
+for vname in ("bsr_fused", "bsr_ell"):
+    v = get_variant(vname)
+    try:
+        op = build_operand(gb, sr, vname)
+        t = chain_time(lambda o, c, s, n_rows: v.dp(o, c, s,
+                                                    n_rows=n_rows), op, xb)
+        gnnz = gb.nnz / t / 1e9
+        report["routing"][vname] = {
+            "us_per_op": round(t * 1e6, 2),
+            "gnnz_per_s": round(gnnz, 3),
+            "hbm_frac": round(gb.nnz * 4 / t / hbm, 4),
+        }
+        print(vname, report["routing"][vname], flush=True)
+    except Exception as e:  # noqa: BLE001 — survey probe
+        report["routing"][vname] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+dst = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "results", "fused_v2_tpu.json")
+with open(dst, "w") as f:
+    json.dump(report, f, indent=1)
+print(json.dumps(report, indent=1))

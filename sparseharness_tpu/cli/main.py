@@ -390,12 +390,15 @@ def _fixpoint_main(description, solve, gold_fn, needs_root, argv, exact=False,
                         "(the reference's RAW_RESULT-per-iteration mode)")
     if sharded_solve is not None:
         p.add_argument("--sharded-mode", dest="sharded_mode",
-                       choices=["auto", "band", "sell", "halo", "gather"],
+                       choices=["auto", "band", "sell", "tiles", "halo",
+                                "gather"],
                        default="auto",
                        help="--mesh exchange/local-compute mode: band = "
                             "Pallas band kernel + ring halo ppermute, sell "
                             "= Pallas sell2 crossbar kernel + all-gather, "
-                            "halo = ELL-gather + neighbour window, gather "
+                            "tiles = Pallas tile-SpMM + all-gather "
+                            "(batched --roots solves only), halo = "
+                            "ELL-gather + neighbour window, gather "
                             "= ELL-gather + all-gather; auto prefers the "
                             "first structure-eligible one")
     if frontier_solve is not None:

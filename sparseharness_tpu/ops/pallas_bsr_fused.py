@@ -34,7 +34,12 @@ from sparseharness_tpu.ops import pallas_bsr_ell
 
 SLAB_COLS_BUDGET = 4096     # int32 indices per pallas_call (16 KB SMEM)
 MAX_X_VMEM_BYTES = 6 * 1024 * 1024
-_ROWS_PER_STEP_TARGET_BYTES = 1024 * 1024
+# strip bytes per grid step. r5 chip sweep on the 33.5M-nnz random-block
+# workload: 1 MB → 126 Gnnz/s, 2 MB → 148 (0.724 HBM frac), 4 MB → 136
+# (VMEM pressure: 2×4 MB double-buffered strips + x + xt crowd the 16 MB
+# budget) — bigger steps amortize the per-step gather/issue overhead that
+# the unrolled read loop leaves
+_ROWS_PER_STEP_TARGET_BYTES = 2 * 1024 * 1024
 
 
 class BsrFusedOperand(NamedTuple):
@@ -101,20 +106,21 @@ def dp_bsr_fused(op: BsrFusedOperand, x: jax.Array, sr: Semiring, *,
         step = pl.program_id(0)
         base = step * rg * k
 
-        for kk in range(k):  # static slots; inner loop = VMEM→VMEM row copies
-            def body(i8, carry, kk=kk):
-                # 8 dynamic-row reads composed into one sublane-aligned store
-                # (Mosaic rejects dynamic stores at unaligned sublane offsets)
-                rows = [
-                    x_ref[pl.ds(cols_ref[base + (i8 * 8 + j) * k + kk], 1), :]
-                    for j in range(8)
-                ]
-                blk = jnp.concatenate(rows, axis=0)  # (8, bn)
-                dst = pl.multiple_of(i8 * 8, 8)
-                xt_ref[pl.ds(dst, 8), kk * bn:(kk + 1) * bn] = blk
-                return carry
-
-            jax.lax.fori_loop(0, rg // 8, body, 0)
+        for kk in range(k):  # static slots
+            # r5: FULLY UNROLLED dynamic-row reads composed into ONE
+            # aligned (rg, bn) store per slot. The r4 form looped
+            # fori(rg//8) with 8-read composed stores; the gather is
+            # issue-bound, and unrolling measured 424 → 330 µs/op on the
+            # 33.5M-nnz random-block workload (+28%,
+            # results/fused_v2_probe_tpu.json; crossbar staging and wide
+            # take_along_axis were probed and lost/failed there — the
+            # dynamic read is ~9 ns/row, cheaper than a per-way crossbar
+            # except under ≤2-chunk locality).
+            rows = [
+                x_ref[pl.ds(cols_ref[base + r * k + kk], 1), :]
+                for r in range(rg)
+            ]
+            xt_ref[:, kk * bn:(kk + 1) * bn] = jnp.concatenate(rows, axis=0)
 
         xt = xt_ref[...][:, None, :]                 # (rg, 1, K·bn)
         t = strip_ref[...]
