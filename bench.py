@@ -29,7 +29,9 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from sparseharness_tpu.algorithms import make_spmv_problem
-    from sparseharness_tpu.formats import banded_coo, power_law_coo, random_coo
+    from sparseharness_tpu.formats import (
+        banded_coo, block_random_coo, power_law_coo, random_coo,
+    )
     from sparseharness_tpu.gold import spmv_gold, Correctness
     from sparseharness_tpu.harness import (
         BenchmarkConfig, benchmark_spmv,
@@ -155,6 +157,27 @@ def main() -> int:
         "matrix": f"zipf n={rn} nnz={zipf.nnz}",
     }
 
+    # ---- blocked (non-bandable) candidate: the bsr_fused strip kernel on
+    # random block structure (the reference's chunk family,
+    # example/kernel6.json) — r5 unrolled gather + 2 MB steps; a gather-
+    # schedule or step-size regression moves this visibly ---------------
+    bn_ = 131072 if on_tpu else 4_096
+    bcoo = block_random_coo(bn_, blocks_per_row=2, bm=8, bn=128, seed=5)
+    bprob = make_spmv_problem(bcoo, variant="bsr_fused", seed=4)
+    bres = benchmark_spmv(
+        bprob, gold=None, config=config, matrix_name=f"block{bn_}",
+        nnz=bcoo.nnz,
+    )
+    blocked = {
+        "variant": "bsr_fused",
+        "gnnz_per_s": round(
+            bcoo.nnz / (bres.median_ns * 1e-9) / 1e9, 3)
+        if bres.median_ns else 0.0,
+        "roofline_frac": round(float(bres.roofline_frac), 4),
+        "median_ms": round(bres.median_ns / 1e6, 4),
+        "matrix": f"block n={bn_} nnz={bcoo.nnz}",
+    }
+
     variant, res, frac, _ = best
     frac = float(frac)
     print(json.dumps({
@@ -174,6 +197,7 @@ def main() -> int:
             "gate_skipped": gate_skipped,
             "candidates": candidates,
             "ragged": ragged,
+            "blocked": blocked,
         },
     }))
     return 0

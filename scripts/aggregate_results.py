@@ -55,10 +55,12 @@ def main() -> int:
     sub_jitter = False
     for m, rs in sorted(by_matrix.items()):
         best = min(rs, key=lambda r: r["time_ns"])
-        # a frac past the ceiling means the two-point diff collapsed below
-        # the dispatch jitter (tiny reference matrices run in ≪1 µs; the
-        # chained clock cannot resolve them) — flag, don't hide
-        mark = " *" if best["roofline_frac"] > 1.2 else ""
+        # bounded_only rides in the record since r5 (the runner marks any
+        # row whose two-point diff collapsed below dispatch jitter even at
+        # the escalated chain cap — an upper bound, not a measurement);
+        # the frac>1.2 recompute keeps pre-r5 rows honest
+        mark = " *" if (best.get("extra", {}).get("bounded_only")
+                        or best["roofline_frac"] > 1.2) else ""
         sub_jitter = sub_jitter or bool(mark)
         print(
             f"{m:28s} {best['kernel'] + '@' + best['geometry']:28s} "

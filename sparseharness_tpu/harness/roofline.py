@@ -91,6 +91,35 @@ _CROSSBAR_CYCLES = 50
 _VPU_HZ = 940e6
 _PANEL_FLOOR_S = _PANEL_TILE_OPS * _CROSSBAR_CYCLES / _VPU_HZ
 
+# ---- per-bucket sell2 panel model (r5, VERDICT r4 weak #8) ------------
+# The flat 16-op constant blended buckets: depth-0 single-tile panels run
+# materially fewer crossbars than depth-3 two-tile ones. Op counts read
+# off the kernel structure (ops/pallas_sell2._panel_call):
+#   crossbars  C(d, tt, hh) = 8 + 2·tt + (d + hh)·(1 + tt)
+#   transposes T(hh)        = 4 + hh
+# and the per-op costs are CALIBRATED on chip from pure-bucket panel
+# marginals on the bench zipf workload (scripts/probe_sell2_buckets_tpu
+# .py, results/sell2_buckets_tpu.json — bucket slicing cancels x-prep,
+# virtual-chunk gather and launch overheads). v5e only; other
+# generations reuse the constants as nominal figures.
+_SELL2_XBAR_S: Optional[float] = None       # set from the probe fit
+_SELL2_TRANSPOSE_S: Optional[float] = None  # set from the probe fit
+
+
+def sell2_panel_ops(depth: int, two_tiles: bool, has_hi: bool):
+    """(crossbars, transposes) one panel of this bucket executes."""
+    tt = 1 if two_tiles else 0
+    hh = 1 if has_hi else 0
+    return 8 + 2 * tt + (depth + hh) * (1 + tt), 4 + hh
+
+
+def _sell2_panel_seconds(lay) -> float:
+    c, t = sell2_panel_ops(lay.depth, lay.two_tiles, lay.has_hi)
+    if _SELL2_XBAR_S is None or _SELL2_TRANSPOSE_S is None:
+        # uncalibrated fallback: the r4 flat model
+        return _PANEL_FLOOR_S
+    return c * _SELL2_XBAR_S + t * _SELL2_TRANSPOSE_S
+
 
 def variant_vpu_seconds(variant: str, operand,
                         device: Optional[jax.Device] = None) -> float:
@@ -101,8 +130,10 @@ def variant_vpu_seconds(variant: str, operand,
     if not getattr(device, "device_kind", "").startswith("TPU"):
         return 0.0   # interpret-mode runs: no VPU model
     if variant in ("sell", "sell2") and hasattr(operand, "layouts"):
-        panels = sum(lay.panels for lay in operand.layouts)
-        return panels * _PANEL_FLOOR_S
+        return sum(
+            lay.panels * _sell2_panel_seconds(lay)
+            for lay in operand.layouts
+        )
     return 0.0
 
 

@@ -429,3 +429,51 @@ def test_cli_eigenvector_gold_gate(tmp_path, capsys):
     assert rc == 0 and "rayleigh" in out and "correct" in out
     rc = eigenvector_main(["-m", str(m), "-n", "1", "--max-iter", "1"])
     assert rc == 1
+
+
+def test_chained_k_escalates_on_subjitter(monkeypatch, coo):
+    # VERDICT r4 next #7: when the first two-point pair's diff lands below
+    # the jitter floor, K re-sizes from the MEASURED per-op bound (capped)
+    import sparseharness_tpu.harness.runner as R
+
+    prob = make_spmv_problem(coo, variant="ell", seed=1)
+    seen = []
+    orig = R._chained_fn
+
+    def spy(problem, k):
+        seen.append(k)
+        return orig(problem, k)
+
+    monkeypatch.setattr(R, "_chained_fn", spy)
+    monkeypatch.setattr(R.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(R, "_MIN_DIFF_S", 1e9)  # everything is sub-jitter
+    monkeypatch.setattr(R, "_MAX_CHAIN", 8)
+    out = R._measure_chained(prob, BenchmarkConfig(trials=1), 2)
+    assert len(out) >= 1
+    assert 8 in seen and seen[0] == 2  # escalated to the cap, then stopped
+
+
+def test_bounded_only_rides_records(tmp_path):
+    # an unresolved (upper-bound) row is machine-readably marked and the
+    # aggregator stars it from the field
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    from sparseharness_tpu.gold.check import Correctness
+    from sparseharness_tpu.harness.stats import BenchRecord, Statistic
+
+    rec = BenchRecord(
+        time_ns=100.0, correctness=Correctness.CORRECT, kernel="ell",
+        geometry="8x128", trial=0, iteration=0,
+        statistic=Statistic.MEDIAN_RESULT, matrix="tiny.mtx", nnz=2596,
+        roofline_frac=4000.0, extra={"bounded_only": True},
+    ).finalize()
+    d = tmp_path / "agg"
+    d.mkdir()
+    (d / "tiny.jsonl").write_text(to_jsonl(rec) + "\n")
+    out = subprocess.run(
+        [_sys.executable, "scripts/aggregate_results.py", str(d)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert "*" in out.stdout and "upper bound only" in out.stdout
