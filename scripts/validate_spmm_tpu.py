@@ -33,24 +33,27 @@ from sparseharness_tpu.semiring import MIN_PLUS, PLUS_TIMES
 report = {"backend": jax.default_backend(), "band_mxu": {}, "tiles": {}}
 
 
-def chain_time(fn, x0, k1=8, k2=16, trials=5):
+def chain_time(fn, x0, op, k1=8, k2=16, trials=5):
+    # op rides as a jit ARGUMENT: closed-over operands embed as HLO
+    # constants and a large operand blows the remote compile service's
+    # request-size limit (HTTP 413) — r4 probe gotcha
     def chained(kk):
-        def f(xc):
+        def f(xc, opx):
             def body(c, _):
-                return fn(c), None
+                return fn(opx, c), None
             out, _ = jax.lax.scan(body, xc, None, length=kk)
             return out
         return jax.jit(f)
     f1, f2 = chained(k1), chained(k2)
-    np.asarray(f1(x0).ravel()[:1])
-    np.asarray(f2(x0).ravel()[:1])
+    np.asarray(f1(x0, op).ravel()[:1])
+    np.asarray(f2(x0, op).ravel()[:1])
     w1, w2 = [], []
     for _ in range(trials):
         t0 = time.perf_counter()
-        np.asarray(f1(x0).ravel()[:1])
+        np.asarray(f1(x0, op).ravel()[:1])
         w1.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        np.asarray(f2(x0).ravel()[:1])
+        np.asarray(f2(x0, op).ravel()[:1])
         w2.append(time.perf_counter() - t0)
     return (min(w2) - min(w1)) / (k2 - k1)
 
@@ -82,7 +85,7 @@ ok_band = gold_check(small, build_operand(small, PLUS_TIMES, "bsr_band"),
 for m in (128, 256):
     xb = jnp.asarray(rng.uniform(0.2, 1.0, (n, m)).astype(np.float32))
     t = chain_time(
-        lambda xc: spmm(op, xc, sr=PLUS_TIMES, n_rows=n), xb)
+        lambda opx, xc: spmm(opx, xc, sr=PLUS_TIMES, n_rows=n), xb, op)
     flops = 2.0 * coo.nnz * m
     report["band_mxu"][f"m{m}"] = {
         "us_per_op": round(t * 1e6, 1),
@@ -104,7 +107,8 @@ ok_tiles_mp = gold_check(
     sr=MIN_PLUS)
 for m in (8, 128):
     xb = jnp.asarray(rng.uniform(0.2, 1.0, (nb, m)).astype(np.float32))
-    t = chain_time(lambda xc: spmm(opb, xc, sr=PLUS_TIMES, n_rows=nb), xb)
+    t = chain_time(lambda opx, xc: spmm(opx, xc, sr=PLUS_TIMES, n_rows=nb),
+                   xb, opb)
     report["tiles"][f"plus_times_m{m}"] = {
         "us_per_op": round(t * 1e6, 1),
         "gnnz_per_s": round(gb.nnz / t / 1e9, 2),
@@ -114,7 +118,8 @@ for m in (8, 128):
     print("tiles", m, report["tiles"][f"plus_times_m{m}"], flush=True)
 opm = build_operand(gb, MIN_PLUS, "bsr_ell")
 xb = jnp.asarray(rng.uniform(0.2, 1.0, (nb, 128)).astype(np.float32))
-t = chain_time(lambda xc: spmm(opm, xc, sr=MIN_PLUS, n_rows=nb), xb)
+t = chain_time(lambda opx, xc: spmm(opx, xc, sr=MIN_PLUS, n_rows=nb),
+               xb, opm)
 report["tiles"]["min_plus_m128"] = {
     "us_per_op": round(t * 1e6, 1),
     "gnnz_per_s": round(gb.nnz / t / 1e9, 2),

@@ -5,7 +5,8 @@ reference itself is SpMV-only (inc/kernel_utils.h:36 builds a single x).
 Dispatch, best kernel first:
 
 - band operand + plus_times → pallas_bsr_band.spmm_band (pure-streaming
-  affine-window MXU kernel, 4.5 TFLOP/s on v5e);
+  affine-window MXU kernel; 3.8 TFLOP/s at m∈{128,256} on v5e —
+  committed artifact results/spmm_tpu.json, r5);
 - strip operands (bsr_ell / bsr_fused) → spmm_tiles.spmm_bsr_ell
   (prefetch-steered X block DMAs; MXU contraction for plus_times, VPU
   mul+reduce for every other semiring — powers batched multi-source
