@@ -97,13 +97,21 @@ _PANEL_FLOOR_S = _PANEL_TILE_OPS * _CROSSBAR_CYCLES / _VPU_HZ
 # off the kernel structure (ops/pallas_sell2._panel_call):
 #   crossbars  C(d, tt, hh) = 8 + 2·tt + (d + hh)·(1 + tt)
 #   transposes T(hh)        = 4 + hh
-# and the per-op costs are CALIBRATED on chip from pure-bucket panel
-# marginals on the bench zipf workload (scripts/probe_sell2_buckets_tpu
-# .py, results/sell2_buckets_tpu.json — bucket slicing cancels x-prep,
-# virtual-chunk gather and launch overheads). v5e only; other
-# generations reuse the constants as nominal figures.
-_SELL2_XBAR_S: Optional[float] = None       # set from the probe fit
-_SELL2_TRANSPOSE_S: Optional[float] = None  # set from the probe fit
+# Per-op FLOOR costs: a crossbar at the measured 50-cycle v5e rate (the
+# r4 basis) and a transpose at the standalone transpose/crossbar ratio
+# 2268/600 ≈ 3.78× (results/crossbar_ceiling_tpu.json) — transposes are
+# multi-step shuffles, not 50-cycle ops, which is where the flat model
+# undercounted. Chip calibration (scripts/probe_sell2_buckets_tpu.py,
+# results/sell2_buckets_tpu.json — pure-bucket panel marginals via
+# operand bucket slicing, so x-prep/virt-gather/launch costs cancel):
+# the dominant (depth 4, 1-tile, lo-route) bucket runs at ~93% of this
+# floor; butterfly depth measures ~free (+4 ns/level — the adds pipeline
+# behind the crossbars), so deep-bucket floors are conservative; the
+# hi-route and two-tile data paths measure ~0.9–1.0 µs/panel against
+# ~0.5 µs modeled — the remaining attribution gap (selects/concat are
+# uncounted). v5e only; other generations reuse as nominal figures.
+_SELL2_XBAR_S: Optional[float] = _CROSSBAR_CYCLES / _VPU_HZ       # 53 ns
+_SELL2_TRANSPOSE_S: Optional[float] = 3.78 * _CROSSBAR_CYCLES / _VPU_HZ
 
 
 def sell2_panel_ops(depth: int, two_tiles: bool, has_hi: bool):

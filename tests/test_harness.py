@@ -344,10 +344,14 @@ def test_roofline_vpu_ceiling_for_ragged():
 
     coo = power_law_coo(3000, 40_000, alpha=1.5, seed=8)
     op = build_sell2(coo, PLUS_TIMES)
-    panels = sum(l.panels for l in op.layouts)
     tpu = types.SimpleNamespace(device_kind="TPU v5 lite", platform="tpu")
     vpu = variant_vpu_seconds("sell2", op, tpu)
-    assert vpu == panels * _PANEL_FLOOR_S and vpu > 0
+    # r5 per-bucket model: sum of per-layout floors (op-count × per-op
+    # floor costs), no longer the flat 16-op constant
+    from sparseharness_tpu.harness.roofline import _sell2_panel_seconds
+
+    want = sum(l.panels * _sell2_panel_seconds(l) for l in op.layouts)
+    assert vpu == want and vpu > 0
     # ceiling = max(HBM, VPU) time; on this scattered matrix VPU dominates
     hbm = variant_bytes("sell2", op, 3000 * 4, 3000 * 4) / 819e9
     assert roofline_seconds("sell2", op, 3000 * 4, 3000 * 4, tpu) == max(
@@ -477,3 +481,28 @@ def test_bounded_only_rides_records(tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert "*" in out.stdout and "upper bound only" in out.stdout
+
+
+def test_sell2_per_bucket_panel_model():
+    # VERDICT r4 weak #8: the ceiling is per-bucket, not a blended flat
+    # constant — op counts read off the kernel structure, per-op floors
+    # from the measured crossbar ceiling (chip calibration in
+    # results/sell2_buckets_tpu.json)
+    from sparseharness_tpu.harness.roofline import (
+        _sell2_panel_seconds, sell2_panel_ops,
+    )
+    from sparseharness_tpu.ops.pallas_sell2 import _SlabLayout
+
+    assert sell2_panel_ops(0, False, False) == (8, 4)
+    assert sell2_panel_ops(4, False, False) == (12, 4)
+    assert sell2_panel_ops(1, False, True) == (10, 5)
+    assert sell2_panel_ops(3, True, True) == (18, 5)
+
+    def lay(d, tt, hh):
+        return _SlabLayout(0, 1024, 1, d, tt, hh)
+
+    cheap = _sell2_panel_seconds(lay(0, False, False))
+    deep = _sell2_panel_seconds(lay(3, False, False))
+    hi = _sell2_panel_seconds(lay(0, False, True))
+    two = _sell2_panel_seconds(lay(3, True, True))
+    assert cheap < deep < two and cheap < hi
