@@ -72,21 +72,27 @@ def main() -> int:
     gold = np.stack([sssp_gold(g, r) for r in roots], axis=1)
     solves = {}
     for mode in ("tiles", "gather"):
-        solver = sharded_multi_sssp(g, roots, mesh=mesh, mode=mode,
-                                    return_solver=True)
-        res = sync(solver())                    # compile + converge
-        ok = bool(np.allclose(np.asarray(res.x), gold, rtol=1e-5,
-                              atol=1e-5))
-        walls = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            res = sync(solver())
-            walls.append(time.perf_counter() - t0)
-        solves[mode] = {
-            "wall_ms": round(float(np.median(walls)) * 1e3, 2),
-            "iterations": int(res.iterations),
-            "outputs_match_gold": ok,
-        }
+        try:
+            solver = sharded_multi_sssp(g, roots, mesh=mesh, mode=mode,
+                                        return_solver=True)
+            res = sync(solver())                # compile + converge
+            ok = bool(np.allclose(np.asarray(res.x), gold, rtol=1e-5,
+                                  atol=1e-5))
+            walls = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                res = sync(solver())
+                walls.append(time.perf_counter() - t0)
+            solves[mode] = {
+                "wall_ms": round(float(np.median(walls)) * 1e3, 2),
+                "iterations": int(res.iterations),
+                "outputs_match_gold": ok,
+            }
+        except Exception as e:  # noqa: BLE001 — survey artifact
+            # the ELL row-gather fallback crashes the remote compile
+            # helper at this scale (HTTP 500) — recorded: the Pallas
+            # tiles path works where the fallback compute cannot build
+            solves[mode] = {"error": f"{type(e).__name__}: {e}"[:200]}
         print(mode, solves[mode], flush=True)
     report["block_full_solve"] = {
         "matrix": f"block n={n} nnz={g.nnz} roots={len(roots)}",
@@ -94,8 +100,11 @@ def main() -> int:
     }
 
     # ---- per-iteration marginal, chained long-diameter workload -------
-    C = 128 if on_tpu else 8
-    m = 1024 if on_tpu else 256
+    # smaller than the full-solve workload: the gather path's compile
+    # crashes at 131k x 33.5M, so the marginal pair runs at a scale both
+    # paths build
+    C = 64 if on_tpu else 8
+    m = 512 if on_tpu else 256
     gch = chained_block_coo(C, m, seed=9)
     k1, k2 = (32, 96) if on_tpu else (4, 8)
     marg = {}

@@ -975,20 +975,26 @@ def _panel_call(slab, lay: _SlabLayout, xT: jax.Array, sr: Semiring,
         if lay.two_tiles:
             q2 = jnp.take_along_axis(f2, (wb >> 7) & 127, axis=1)
             q_lo = jnp.where(((wb >> 14) & 1) == 0, q_lo, q2)
+        @pl.when(p == 0)
+        def _():
+            out_ref[...] = jnp.full_like(out_ref, czero)
+
         if lay.has_hi:
             q_hi = jnp.take_along_axis(f1, (wa >> 22) & 127, axis=1)
             if lay.two_tiles:
                 q2h = jnp.take_along_axis(f2, (wa >> 22) & 127, axis=1)
                 q_hi = jnp.where(((wa >> 29) & 1) == 0, q_hi, q2h)
-            acc = jnp.concatenate([q_lo.T, q_hi.T], axis=0)[:d_out]
+            # two static-slice stores instead of concat+slice: the r5
+            # bucket calibration measured the hi-route path at ~2× its
+            # crossbar count (results/sell2_buckets_tpu.json) — the
+            # concat materialized both transposed tiles into a third
+            lo_rows = min(d_out, LANES)
+            out_ref[:lo_rows] = add(out_ref[:lo_rows], q_lo.T[:lo_rows])
+            if d_out > LANES:
+                out_ref[LANES:] = add(out_ref[LANES:],
+                                      q_hi.T[: d_out - LANES])
         else:
-            acc = q_lo.T[:d_out]
-
-        @pl.when(p == 0)
-        def _():
-            out_ref[...] = jnp.full_like(out_ref, czero)
-
-        out_ref[...] = add(out_ref[...], acc)
+            out_ref[...] = add(out_ref[...], q_lo.T[:d_out])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
