@@ -621,23 +621,30 @@ void *sell2_encode_slab(
     std::vector<int64_t> gb(m);
     for (int64_t i = 0; i < m; ++i) gb[i] = cols_e[i] >> 7;
     // dense map over present blocks (ascending == np.unique order)
-    std::vector<int64_t> gbu(gb);
-    std::sort(gbu.begin(), gbu.end());
-    gbu.erase(std::unique(gbu.begin(), gbu.end()), gbu.end());
-    const int64_t nbu = (int64_t)gbu.size();
+    std::vector<int64_t> gbu;
     std::vector<int32_t> gbi(m);
     const int64_t gb_range = n_chunks * kL;
     if (gb_range <= (int64_t)1 << 22) {
-      // direct lookup over the block-id range (beats a per-entry binary
-      // search by ~40ms at 1.7M entries)
+      // presence bitmap + prefix over the block-id range replaces the
+      // full-entry sort/unique (that sort was ~half the virtual stage);
+      // the same table then maps entries in O(1)
       std::vector<int32_t> lut(gb_range, -1);
-      for (int64_t b = 0; b < nbu; ++b) lut[gbu[b]] = (int32_t)b;
+      for (int64_t i = 0; i < m; ++i) lut[gb[i]] = 1;
+      for (int64_t b = 0; b < gb_range; ++b)
+        if (lut[b] >= 0) {
+          lut[b] = (int32_t)gbu.size();
+          gbu.push_back(b);
+        }
       for (int64_t i = 0; i < m; ++i) gbi[i] = lut[gb[i]];
     } else {
+      gbu = gb;
+      std::sort(gbu.begin(), gbu.end());
+      gbu.erase(std::unique(gbu.begin(), gbu.end()), gbu.end());
       for (int64_t i = 0; i < m; ++i)
         gbi[i] = (int32_t)(std::lower_bound(gbu.begin(), gbu.end(), gb[i]) -
                            gbu.begin());
     }
+    const int64_t nbu = (int64_t)gbu.size();
     std::vector<int32_t> cnt_b((size_t)nbu * kL, 0);
     for (int64_t i = 0; i < m; ++i) ++cnt_b[(size_t)gbi[i] * kL + lane[i]];
     std::vector<int64_t> dem_b(nbu, 0);
@@ -715,28 +722,38 @@ void *sell2_encode_slab(
     for (int64_t b = 0; b < kL * kL; ++b) cnt[b + 1] += cnt[b];
     for (int64_t i = 0; i < m; ++i) tmp[cnt[bl[i]]++] = (int32_t)i;
     ord.swap(tmp);  // identity start: scatter i directly
-    // chunk pass (dense map over present chunk ids, ascending)
-    std::vector<int32_t> chp(chunk);
-    std::sort(chp.begin(), chp.end());
-    chp.erase(std::unique(chp.begin(), chp.end()), chp.end());
-    std::vector<int64_t> ccnt(chp.size() + 1, 0);
+    // chunk pass: presence bitmap + prefix over the id range (ascending
+    // dense map) — replaces the full-entry sort/unique that dominated
+    // this stage; ids span [0, virt_base + npools), a few thousand
+    int32_t ch_max = 0;
+    for (int64_t i = 0; i < m; ++i) ch_max = std::max(ch_max, chunk[i]);
+    const int64_t ch_range = (int64_t)ch_max + 1;
+    size_t n_chp = 0;
+    std::vector<int64_t> ccnt;
     std::vector<int32_t> cidx(m);
-    const int64_t ch_range = (int64_t)chp.back() + 1;
     if (ch_range <= (int64_t)1 << 22) {
       std::vector<int32_t> lut(ch_range, -1);
-      for (size_t k = 0; k < chp.size(); ++k) lut[chp[k]] = (int32_t)k;
+      for (int64_t i = 0; i < m; ++i) lut[chunk[i]] = 1;
+      for (int64_t c2 = 0; c2 < ch_range; ++c2)
+        if (lut[c2] >= 0) lut[c2] = (int32_t)n_chp++;
+      ccnt.assign(n_chp + 1, 0);
       for (int64_t i = 0; i < m; ++i) {
         cidx[i] = lut[chunk[i]];
         ++ccnt[cidx[i] + 1];
       }
     } else {
+      std::vector<int32_t> chp(chunk);
+      std::sort(chp.begin(), chp.end());
+      chp.erase(std::unique(chp.begin(), chp.end()), chp.end());
+      n_chp = chp.size();
+      ccnt.assign(n_chp + 1, 0);
       for (int64_t i = 0; i < m; ++i) {
         cidx[i] = (int32_t)(std::lower_bound(chp.begin(), chp.end(),
                                              chunk[i]) - chp.begin());
         ++ccnt[cidx[i] + 1];
       }
     }
-    for (size_t l = 0; l < chp.size(); ++l) ccnt[l + 1] += ccnt[l];
+    for (size_t l = 0; l < n_chp; ++l) ccnt[l + 1] += ccnt[l];
     for (int64_t i = 0; i < m; ++i) tmp[ccnt[cidx[ord[i]]]++] = ord[i];
     ord.swap(tmp);
   }
@@ -850,21 +867,27 @@ void *sell2_encode_slab(
   ck.mark("slots");
   // ---- phase B: runs over (panel, row), stable ----------------------
   // order2 = stable sort of phase-A order by key (panel, orow): LSD
-  // counting by orow (<= 32768) then panel
+  // counting by orow (<= 32768) then panel. Keys are PRECOMPUTED
+  // sequentially (orow_A, panel_A indexed by phase-A position) — the
+  // double indirection rows_e[ord[ord2[i]]] was the runsB hot spot
   std::vector<int32_t> ord2(m), tmp2(m);
-  for (int64_t i = 0; i < m; ++i) ord2[i] = (int32_t)i;  // phase-A order
+  std::vector<int32_t> orow_A(m), panel_A(m);
+  for (int64_t i = 0; i < m; ++i) {
+    orow_A[i] = (int32_t)rows_e[ord[i]];
+    panel_A[i] = (int32_t)(g_abs[i] / kUsable);
+  }
   {
-    std::vector<int64_t> rcnt(kSlabRows + 1, 0);
-    for (int64_t i = 0; i < m; ++i) ++rcnt[rows_e[ord[i]] + 1];
+    std::vector<int32_t> rcnt(kSlabRows + 1, 0);
+    for (int64_t i = 0; i < m; ++i) ++rcnt[orow_A[i] + 1];
     for (int64_t r = 0; r < kSlabRows; ++r) rcnt[r + 1] += rcnt[r];
     for (int64_t i = 0; i < m; ++i)
-      tmp2[rcnt[rows_e[ord[ord2[i]]]]++] = ord2[i];
+      tmp2[rcnt[orow_A[i]]++] = (int32_t)i;   // identity start
     ord2.swap(tmp2);
-    std::vector<int64_t> pcnt(P + 1, 0);
-    for (int64_t i = 0; i < m; ++i) ++pcnt[g_abs[i] / kUsable + 1];
+    std::vector<int32_t> pcnt(P + 1, 0);
+    for (int64_t i = 0; i < m; ++i) ++pcnt[panel_A[i] + 1];
     for (int64_t p = 0; p < P; ++p) pcnt[p + 1] += pcnt[p];
     for (int64_t i = 0; i < m; ++i)
-      tmp2[pcnt[g_abs[ord2[i]] / kUsable]++] = ord2[i];
+      tmp2[pcnt[panel_A[ord2[i]]]++] = ord2[i];
     ord2.swap(tmp2);
   }
   // run boundaries
@@ -872,8 +895,8 @@ void *sell2_encode_slab(
   std::vector<int32_t> rid2(m);
   for (int64_t i = 0; i < m; ++i) {
     const int64_t e = ord2[i];           // index into phase-A order
-    const int64_t pan = g_abs[e] / kUsable;
-    const int64_t row = rows_e[ord[e]];
+    const int64_t pan = panel_A[e];
+    const int64_t row = orow_A[e];
     if (i == 0 || pan != run_panel.back() || row != run_row.back()) {
       run_start.push_back(i);
       run_panel.push_back(pan);
@@ -1022,7 +1045,7 @@ void *sell2_encode_slab(
     const int64_t r = rid2[i];
     const int64_t j = run_off[r] + (i - run_start[r]);
     const int64_t rowA = run_panel[r] * kL + run_lane[r];
-    const int32_t s2 = (int32_t)(g_abs[e] % kUsable);
+    const int32_t s2 = (int32_t)(g_abs[e] - (int64_t)panel_A[e] * kUsable);
     if (j < kL) {
       int32_t &w = out->wordA[(size_t)rowA * kL + j];
       w = (w & ~(int32_t)127) | s2;
@@ -1076,18 +1099,48 @@ void sell2_slab_meta(void *h, int64_t *P, int64_t *n_virt, int32_t *bf_depth,
   *has_hi = s->has_hi;
 }
 
+// bucket_order != 0: panels are written grouped by call bucket
+// (depth-group {0},{1,2},{3+} × two_tiles — the split_calls key), stable
+// within a bucket, so the Python side slices CONTIGUOUS per-bucket views
+// instead of fancy-select copies. The per-bucket arrays are identical to
+// the NumPy path's wa3[sel] selections (stable order preserved).
 void sell2_slab_fetch(void *h, int32_t *wordA, int32_t *wordB, uint8_t *vals,
                       int32_t *chunk_of_panel, int32_t *p_depth,
-                      uint8_t *p_two, uint8_t *p_hi, int32_t *virt_rows) {
+                      uint8_t *p_two, uint8_t *p_hi, int32_t *virt_rows,
+                      int32_t bucket_order) {
   Sell2Slab *s = (Sell2Slab *)h;
-  std::memcpy(wordA, s->wordA.data(), s->wordA.size() * 4);
-  std::memcpy(wordB, s->wordB.data(), s->wordB.size() * 4);
-  std::memcpy(vals, s->vals.data(), s->vals.size());
-  std::memcpy(chunk_of_panel, s->chunk_of_panel.data(),
-              s->chunk_of_panel.size() * 4);
-  std::memcpy(p_depth, s->p_depth.data(), s->p_depth.size() * 4);
-  std::memcpy(p_two, s->p_two.data(), s->p_two.size());
-  std::memcpy(p_hi, s->p_hi.data(), s->p_hi.size());
+  const int64_t P = s->P;
+  const size_t itemsize = P ? s->vals.size() / ((size_t)P * kL * kL) : 1;
+  std::vector<int64_t> perm(P);  // output position per panel
+  if (bucket_order) {
+    std::vector<int64_t> order(P);
+    for (int64_t p = 0; p < P; ++p) order[p] = p;
+    auto bkey = [&](int64_t p) {
+      const int32_t d = s->p_depth[p];
+      const int32_t dg = d == 0 ? 0 : (d <= 2 ? 1 : 2);
+      return dg * 2 + (s->p_two[p] ? 1 : 0);
+    };
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) { return bkey(a) < bkey(b); });
+    for (int64_t k = 0; k < P; ++k) perm[order[k]] = k;
+  } else {
+    for (int64_t p = 0; p < P; ++p) perm[p] = p;
+  }
+  for (int64_t p = 0; p < P; ++p) {
+    const int64_t q = perm[p];
+    std::memcpy(wordA + (size_t)q * kL * kL,
+                s->wordA.data() + (size_t)p * kL * kL, (size_t)kL * kL * 4);
+    std::memcpy(wordB + (size_t)q * kL * kL,
+                s->wordB.data() + (size_t)p * kL * kL, (size_t)kL * kL * 4);
+    std::memcpy(vals + (size_t)q * kL * kL * itemsize,
+                s->vals.data() + (size_t)p * kL * kL * itemsize,
+                (size_t)kL * kL * itemsize);
+    chunk_of_panel[q * 2] = s->chunk_of_panel[p * 2];
+    chunk_of_panel[q * 2 + 1] = s->chunk_of_panel[p * 2 + 1];
+    p_depth[q] = s->p_depth[p];
+    p_two[q] = s->p_two[p];
+    p_hi[q] = s->p_hi[p];
+  }
   if (s->n_virt)
     std::memcpy(virt_rows, s->virt_rows.data(), s->virt_rows.size() * 4);
 }

@@ -136,6 +136,7 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
     ]
     lib.sell2_slab_free.restype = None
     lib.sell2_slab_free.argtypes = [ctypes.c_void_p]
@@ -322,7 +323,8 @@ def sell2_pack(cnt: np.ndarray, max_push: int, max_holes: int,
 def sell2_encode_slab(rows_e, cols_e, vals_store, zero_store,
                       n_chunks: int, virt_base: int, rows_slab: int,
                       virtual_chunks: bool, max_push: int, max_holes: int,
-                      hole_tries: int, virt_demand_t: int):
+                      hole_tries: int, virt_demand_t: int,
+                      bucket_order: bool = False):
     """Native per-slab sell2 encode (ops/pallas_sell2.build_sell2 phase
     A/B + array fills), bit-identical to the NumPy slab body. Returns
     ``(wordA, wordB, vals, chunk_of_panel, p_depth, p_two, p_hi,
@@ -382,6 +384,7 @@ def sell2_encode_slab(rows_e, cols_e, vals_store, zero_store,
             p_two.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             p_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             vrows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int32(1 if bucket_order else 0),
         )
     finally:
         lib.sell2_slab_free(h)

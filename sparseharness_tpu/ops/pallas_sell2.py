@@ -503,7 +503,7 @@ def build_sell2(coo: COO, sr: Semiring,
                 k_vals[e0:e1].astype(store_dtype, copy=False), zero_store,
                 n_chunks, n_chunks, rows_slab, virtual_chunks,
                 SHELF_MAX_PUSH, SHELF_MAX_HOLES, SHELF_HOLE_TRIES,
-                VIRT_DEMAND_T)
+                VIRT_DEMAND_T, bucket_order=split_calls)
         _t = _enc_mark("native-submit", _t)
 
     for r0 in range(0, n_pad, SLAB_ROWS):
@@ -544,24 +544,28 @@ def build_sell2(coo: COO, sr: Semiring,
                     r0, rows_slab, P, bf_depth, two_tiles, has_hi))
                 _t = _enc_mark("bucket+upload", _t)
                 continue
+            # panels arrive bucket-ordered from the native fetch
+            # (stable, ascending bkey — identical per-bucket arrays to
+            # the NumPy wa3[sel] selections), so each call's arrays are
+            # CONTIGUOUS slices: no fancy-select temps
             dgrp = np.where(p_depth_a == 0, 0,
                             np.where(p_depth_a <= 2, 1, 2))
             bkey = dgrp * 2 + p_two_a.astype(np.int64)
-            wa3 = wordA.reshape(P, LANES, LANES)
-            wb3 = wordB.reshape(P, LANES, LANES)
-            va3 = vals_arr.reshape(P, LANES, LANES)
-            for kk in np.unique(bkey):
-                sel = np.nonzero(bkey == kk)[0]
+            bounds = np.flatnonzero(np.diff(bkey)) + 1
+            for s0, s1 in zip(np.r_[0, bounds], np.r_[bounds, P]):
+                s0, s1 = int(s0), int(s1)
+                sl = slice(s0 * LANES, s1 * LANES)
                 slabs.append({
-                    "chunk": jnp.asarray(chunk_of_panel[sel]),
-                    "wordA": jnp.asarray(wa3[sel].reshape(-1, LANES)),
-                    "wordB": jnp.asarray(wb3[sel].reshape(-1, LANES)),
-                    "vals": jnp.asarray(va3[sel].reshape(-1, LANES)),
+                    "chunk": jnp.asarray(chunk_of_panel[s0:s1]),
+                    "wordA": jnp.asarray(wordA[sl]),
+                    "wordB": jnp.asarray(wordB[sl]),
+                    "vals": jnp.asarray(vals_arr[sl]),
                 })
                 layouts.append(_SlabLayout(
-                    r0, rows_slab, len(sel), int(p_depth_a[sel].max()),
-                    bool(p_two_a[sel].any()),
-                    bool(p_hi_a[sel].any()) or rows_slab > 16384,
+                    r0, rows_slab, s1 - s0,
+                    int(p_depth_a[s0:s1].max()),
+                    bool(p_two_a[s0:s1].any()),
+                    bool(p_hi_a[s0:s1].any()) or rows_slab > 16384,
                 ))
             _t = _enc_mark("bucket+upload", _t)
             continue
