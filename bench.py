@@ -163,20 +163,21 @@ def main() -> int:
     # schedule or step-size regression moves this visibly ---------------
     bn_ = 131072 if on_tpu else 4_096
     bcoo = block_random_coo(bn_, blocks_per_row=2, bm=8, bn=128, seed=5)
-    bprob = make_spmv_problem(bcoo, variant="bsr_fused", seed=4)
-    bres = benchmark_spmv(
-        bprob, gold=None, config=config, matrix_name=f"block{bn_}",
-        nnz=bcoo.nnz,
-    )
-    blocked = {
-        "variant": "bsr_fused",
-        "gnnz_per_s": round(
-            bcoo.nnz / (bres.median_ns * 1e-9) / 1e9, 3)
-        if bres.median_ns else 0.0,
-        "roofline_frac": round(float(bres.roofline_frac), 4),
-        "median_ms": round(bres.median_ns / 1e6, 4),
-        "matrix": f"block n={bn_} nnz={bcoo.nnz}",
-    }
+    blocked = {"matrix": f"block n={bn_} nnz={bcoo.nnz}"}
+    for bgeom in (Geometry(8, 128), Geometry(8, 128, "bfloat16")):
+        bprob = make_spmv_problem(bcoo, variant="bsr_fused",
+                                  geometry=bgeom, seed=4)
+        bres = benchmark_spmv(
+            bprob, gold=None, config=config, geometry=bgeom,
+            matrix_name=f"block{bn_}", nnz=bcoo.nnz,
+        )
+        blocked[f"bsr_fused@{bgeom}"] = {
+            "gnnz_per_s": round(
+                bcoo.nnz / (bres.median_ns * 1e-9) / 1e9, 3)
+            if bres.median_ns else 0.0,
+            "roofline_frac": round(float(bres.roofline_frac), 4),
+            "median_ms": round(bres.median_ns / 1e6, 4),
+        }
 
     variant, res, frac, _ = best
     frac = float(frac)

@@ -327,3 +327,28 @@ def test_blocked_builders_refuse_pathological_scatter():
             build_operand(shuffled, sr, variant)
     name, _ = build_operand_auto(shuffled, sr)
     assert name == "sell2"
+
+
+def test_bsr_fused_bfloat16_storage_matches_gold():
+    # bf16 value storage on the blocked kernel (half the strip bytes —
+    # 204.5 Gnnz/s on chip, r5); compare with a bf16-rounding-scale
+    # tolerance against the f32 gold
+    import jax.numpy as jnp
+
+    from sparseharness_tpu.formats import block_random_coo
+    from sparseharness_tpu.gold import spmv_abs_bound, spmv_gold
+    from sparseharness_tpu.ops import Geometry, build_operand, spmv
+    from sparseharness_tpu.semiring import PLUS_TIMES
+
+    coo = block_random_coo(1024, blocks_per_row=2, bm=8, bn=128, seed=7)
+    geom = Geometry(8, 128, "bfloat16")
+    op = build_operand(coo, PLUS_TIMES, "bsr_fused", geom)
+    assert op.strips.dtype == jnp.bfloat16
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0.2, 1.0, coo.shape[1]).astype(np.float32)
+    out = np.asarray(spmv(op, jnp.asarray(x), sr=PLUS_TIMES,
+                          variant="bsr_fused", n_rows=coo.shape[0]))
+    gold = spmv_gold(coo, x, np.zeros(coo.shape[0], np.float32),
+                     PLUS_TIMES)
+    scale = np.maximum(spmv_abs_bound(coo, x), 1.0)
+    assert np.max(np.abs(out - gold) / scale) < 1e-2
