@@ -230,3 +230,27 @@ def test_native_sort_fold_matches_numpy():
     np.testing.assert_array_equal(got.rows, want.rows)
     np.testing.assert_array_equal(got.cols, want.cols)
     np.testing.assert_array_equal(got.vals, want.vals)  # exact fold order
+
+
+def test_native_sell2_encode_edge_cases(monkeypatch):
+    # degenerate shapes through the native encode core: single entry,
+    # single-column hub (deep piles), pure diagonal, trailing-slab-only
+    from sparseharness_tpu.formats import coo_from_arrays
+    from sparseharness_tpu.semiring import PLUS_TIMES
+
+    if not native_io.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    cases = [
+        coo_from_arrays([5], [7], np.ones(1, np.float32), (16, 16)),
+        coo_from_arrays(np.arange(300), np.zeros(300, int),
+                        np.ones(300, np.float32), (300, 300)),
+        coo_from_arrays(np.arange(200), np.arange(200),
+                        np.ones(200, np.float32), (200, 200)),
+        coo_from_arrays([1999], [1999], np.ones(1, np.float32),
+                        (2000, 2000)),
+    ]
+    for coo in cases:
+        a, b = _build_sell2_both(coo, PLUS_TIMES, monkeypatch)
+        _assert_sell2_identical(a, b)
